@@ -1,0 +1,216 @@
+"""Canonicalization: apply dedup actions to the node/edge tables.
+
+Distributed re-expression of DedupScanner::execute_action / merge_nodes
+(linker/dedup.rs:185-330):
+
+- merge:      retire → keep. Merge chains (A keeps B, B keeps C) collapse
+              via connected components over the merge pairs; the component
+              representative is chosen by (degree desc, importance desc,
+              node_id asc) — the reference applies pairwise merges in scan
+              order, which is not reproducible distributed, so the rep rule
+              is made deterministic and documented (SURVEY §7 hard part 2).
+- edge rewrite (J14): redirect src/dst of every edge through the canonical
+              map, drop would-be self-edges, dedup (src,dst,relation)
+              (dedup.rs:233-278).
+- node merge (A8): tags = union (order-preserving by first occurrence),
+              metadata = keep-wins, importance = max (dedup.rs:296-318);
+              retired nodes get tombstoned (deleted=true).
+- supersede:  newer→older `supersedes` edge w=0.95, AutoDedup{similarity}
+              (dedup.rs:190-208); merge also adds keep→retire supersedes
+              with AutoDedup{1.0} (dedup.rs:282-295).
+- link:       related_to edge w=similarity, AutoDedup{similarity}
+              (dedup.rs:210-227).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cortex_spark.canon.components import connected_components
+from cortex_spark.canon.dedup import degree
+
+
+def _ts_lit(run_ts: datetime):
+    return F.to_timestamp(F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S")))
+
+
+def canonical_map(actions: DataFrame, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """merge actions → (node_id, canonical) for every retired node."""
+    merges = actions.filter(F.col("action") == "merge").select("keep", "retire")
+    if merges.isEmpty():
+        return merges.sparkSession.createDataFrame([], "node_id string, canonical string")
+    comp = connected_components(merges, src="keep", dst="retire")
+    members = comp.join(degree(edges), "node_id", "left").join(
+        nodes.select("node_id", "importance"), "node_id", "left"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("degree"), F.desc_nulls_last("importance"), F.asc("node_id")
+    )
+    reps = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("component"), F.col("node_id").alias("canonical"))
+    )
+    return (
+        comp.join(reps, "component")
+        .filter(F.col("node_id") != F.col("canonical"))
+        .select("node_id", "canonical")
+    )
+
+
+def rewrite_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Redirect edges through the canonical map (J14, dedup.rs:233-278)."""
+    src_map = cmap.select(F.col("node_id").alias("src"), F.col("canonical").alias("src_c"))
+    dst_map = cmap.select(F.col("node_id").alias("dst"), F.col("canonical").alias("dst_c"))
+    redirected = (
+        edges.join(F.broadcast(src_map), "src", "left")
+        .join(F.broadcast(dst_map), "dst", "left")
+        .withColumn("src", F.coalesce(F.col("src_c"), F.col("src")))
+        .withColumn("dst", F.coalesce(F.col("dst_c"), F.col("dst")))
+        .drop("src_c", "dst_c")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    w = Window.partitionBy("src", "dst", "relation").orderBy(F.asc("created_at"), F.asc("edge_id"))
+    return redirected.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def merge_node_attrs(nodes: DataFrame, cmap: DataFrame, run_ts: datetime) -> DataFrame:
+    """Fold retired nodes' tags/metadata/importance into their canonical node
+    (A8, dedup.rs:296-318) and tombstone the retired rows."""
+    retired = nodes.join(
+        cmap.withColumnRenamed("node_id", "nid"),
+        nodes["node_id"] == F.col("nid"),
+    ).select(F.col("canonical"), F.col("nid"), F.col("tags"), F.col("metadata"), F.col("importance"))
+    by_nid = lambda l, r: F.when(l["nid"] < r["nid"], -1).when(l["nid"] > r["nid"], 1).otherwise(0)  # noqa: E731
+    folded = retired.groupBy("canonical").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("nid"), F.col("tags"))), by_nid),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.concat(acc, F.array_except(s["tags"], acc)),
+        ).alias("r_tags"),
+        # keep-wins fold in deterministic (node_id) order: earlier maps win
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("nid"), F.col("metadata"))), by_nid),
+            F.create_map().cast("map<string,string>"),
+            lambda acc, s: F.map_concat(
+                acc, F.map_filter(s["metadata"], lambda k, _: ~F.array_contains(F.map_keys(acc), k))
+            ),
+        ).alias("r_meta"),
+        F.max("importance").alias("r_imp"),
+    )
+    ts = _ts_lit(run_ts)
+    merged = (
+        nodes.join(folded, nodes["node_id"] == folded["canonical"], "left")
+        .withColumn(
+            "tags",
+            F.when(
+                F.col("canonical").isNotNull(),
+                F.concat(
+                    F.col("tags"),
+                    F.array_except(F.coalesce(F.col("r_tags"), F.array()), F.col("tags")),
+                ),
+            ).otherwise(F.col("tags")),
+        )
+        .withColumn(
+            "metadata",
+            F.when(
+                F.col("canonical").isNotNull(),
+                F.map_concat(
+                    F.col("metadata"),
+                    F.map_filter(
+                        F.coalesce(F.col("r_meta"), F.create_map().cast("map<string,string>")),
+                        lambda k, _: ~F.array_contains(F.map_keys(F.col("metadata")), k),
+                    ),
+                ),
+            ).otherwise(F.col("metadata")),
+        )
+        .withColumn(
+            "importance",
+            F.when(
+                F.col("canonical").isNotNull(),
+                F.greatest(F.col("importance"), F.coalesce(F.col("r_imp"), F.col("importance"))),
+            )
+            .otherwise(F.col("importance"))
+            .cast("float"),
+        )
+        .withColumn(
+            "updated_at",
+            F.when(F.col("canonical").isNotNull(), ts).otherwise(F.col("updated_at")),
+        )
+        .drop("canonical", "r_tags", "r_meta", "r_imp")
+    )
+    tomb = cmap.select(F.col("node_id").alias("t_id"))
+    return (
+        merged.join(tomb, merged["node_id"] == tomb["t_id"], "left")
+        .withColumn("deleted", F.when(F.col("t_id").isNotNull(), F.lit(True)).otherwise(F.col("deleted")))
+        .drop("t_id")
+    )
+
+
+def dedup_edges_for_actions(actions: DataFrame, cmap: DataFrame, run_ts: datetime) -> DataFrame:
+    """supersedes / related_to edges emitted by the dedup pass itself."""
+    ts = _ts_lit(run_ts)
+
+    def _mk(df: DataFrame, src, dst, rel: str, weight, sim) -> DataFrame:
+        return df.select(
+            src.alias("src"), dst.alias("dst"), F.lit(rel).alias("relation"),
+            weight.cast("float").alias("weight"), sim.cast("float").alias("sim"),
+        )
+
+    merges = actions.filter(F.col("action") == "merge")
+    sups = actions.filter(F.col("action") == "supersede")
+    links = actions.filter(F.col("action") == "link")
+    out = (
+        _mk(merges, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.lit(1.0))
+        .unionByName(_mk(sups, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.col("score")))
+        .unionByName(_mk(links, F.col("a_id"), F.col("b_id"), "related_to", F.col("score"), F.col("score")))
+    )
+    # redirect through canonical map so edges land on canonical nodes
+    src_map = cmap.select(F.col("node_id").alias("src"), F.col("canonical").alias("src_c"))
+    dst_map = cmap.select(F.col("node_id").alias("dst"), F.col("canonical").alias("dst_c"))
+    out = (
+        out.join(F.broadcast(src_map), "src", "left")
+        .join(F.broadcast(dst_map), "dst", "left")
+        .withColumn("src", F.coalesce("src_c", "src"))
+        .withColumn("dst", F.coalesce("dst_c", "dst"))
+        .drop("src_c", "dst_c")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst", "relation"])
+    )
+    return out.select(
+        F.sha2(F.concat_ws("\x00", "src", "dst", "relation"), 256).substr(1, 32).alias("edge_id"),
+        "src",
+        "dst",
+        "relation",
+        "weight",
+        F.struct(
+            F.lit("auto_dedup").alias("ptype"),
+            F.lit(None).cast("string").alias("detail"),
+            F.col("sim").alias("score"),
+        ).alias("provenance"),
+        ts.alias("created_at"),
+        ts.alias("updated_at"),
+    )
+
+
+def canonicalize(
+    nodes: DataFrame,
+    edges: DataFrame,
+    actions: DataFrame,
+    run_ts: datetime | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply all dedup actions; returns (nodes', edges')."""
+    run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
+    cmap = canonical_map(actions, nodes, edges)
+    new_edges = rewrite_edges(edges, cmap)
+    dedup_e = dedup_edges_for_actions(actions, cmap, run_ts)
+    all_edges = (
+        new_edges.unionByName(
+            dedup_e.join(new_edges.select("src", "dst", "relation"), ["src", "dst", "relation"], "left_anti")
+        )
+    )
+    new_nodes = merge_node_attrs(nodes, cmap, run_ts)
+    return new_nodes, all_edges

@@ -1,0 +1,63 @@
+"""Chunk classifier + title derivation as native Spark column expressions.
+
+Classifier: keyword cascade, first match wins, case-insensitive substring on
+the whole chunk — priority order replicated exactly from the reference
+(briefing/ingest.rs:181-211). Implemented as a `when` chain over
+`lower(text)` so it stays inside whole-stage codegen (no Python in the hot
+path); `classify_py` is the same cascade in pure Python for golden tests.
+
+Title: first line, trim, strip leading '#', trim, byte-truncate at 200
+(reference ingest.rs:100-111 slices *bytes*; the UDF-free Spark path uses
+char `substring` which is identical for ASCII corpora — the generator emits
+ASCII titles — and `title_py` keeps exact byte semantics for parity tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (kind, [keywords]) in exact reference priority order, ingest.rs:182-210
+CLASSIFIER_CASCADE: list[tuple[str, list[str]]] = [
+    ("decision", ["decided", "decision", "chose", "will use"]),
+    ("goal", ["goal", "target", "aim", "objective"]),
+    ("preference", ["prefer", "always", "never", "style"]),
+    ("pattern", ["pattern", "recurring", "tendency"]),
+    ("event", ["happened", "event", "occurred"]),
+    ("observation", ["observed", "noticed", "note"]),
+]
+DEFAULT_KIND = "fact"
+TITLE_MAX_BYTES = 200
+
+
+def classify_col(text: Column) -> Column:
+    lower = F.lower(text)
+    expr = None
+    for kind, words in CLASSIFIER_CASCADE:
+        cond = None
+        for w in words:
+            c = lower.contains(w)
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, F.lit(kind)) if expr is None else expr.when(cond, F.lit(kind))
+    return expr.otherwise(F.lit(DEFAULT_KIND))
+
+
+def classify_py(text: str) -> str:
+    lower = text.lower()
+    for kind, words in CLASSIFIER_CASCADE:
+        if any(w in lower for w in words):
+            return kind
+    return DEFAULT_KIND
+
+
+def title_col(text: Column) -> Column:
+    first = F.trim(F.split_part(text, F.lit("\n"), F.lit(1)))
+    stripped = F.trim(F.regexp_replace(first, r"^#+", ""))
+    return F.substring(stripped, 1, TITLE_MAX_BYTES)
+
+
+def title_py(text: str) -> str:
+    raw = (text.split("\n", 1)[0] if text else "Untitled").strip()
+    t = raw.lstrip("#").strip()
+    b = t.encode("utf-8")
+    return b[:TITLE_MAX_BYTES].decode("utf-8", errors="ignore") if len(b) > TITLE_MAX_BYTES else t

@@ -1,0 +1,108 @@
+"""Auto-link stage: nodes → new edges (the KG triple-emission job).
+
+Distributed re-expression of the reference auto-link cycle
+(auto_linker.rs:185-364, §3.3 of SURVEY):
+
+    live nodes → LSH candidate pairs (J1) → symmetrize (each node scans its
+    neighbors) → join node attributes → rule pass (J2-J10, single scan) →
+    anti-join existing edges (J11) → first-rule-wins per (src,dst,relation)
+    → per-node cap (W7) → edge rows with provenance
+
+Shuffle budget: one shuffle for the LSH self-join, two broadcast-or-shuffle
+joins to attach node attrs (narrow projection only), one window per cap.
+The attribute projection is kept minimal (8 columns) so the pair frame
+stays small at 10^12-node scale.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cortex_spark.linker.lsh import brute_force_pairs, candidate_pairs
+from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
+
+ATTR_COLS = ["kind", "title", "body", "tags", "source_agent", "source_session", "created_at"]
+
+
+def _attach_attrs(ordered_pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    attrs = nodes.select(F.col("node_id"), *[F.col(c) for c in ATTR_COLS])
+    a = attrs.select(
+        F.col("node_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in ATTR_COLS]
+    )
+    b = attrs.select(
+        F.col("node_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in ATTR_COLS]
+    )
+    return ordered_pairs.join(a, "a_id").join(b, "b_id")
+
+
+def symmetrize(pairs: DataFrame) -> DataFrame:
+    """Canonical (a<b) pairs → both orientations (each node scans neighbors,
+    auto_linker.rs:215-243)."""
+    swapped = pairs.select(
+        F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), F.col("score")
+    )
+    return pairs.unionByName(swapped)
+
+
+def link_nodes(
+    nodes: DataFrame,
+    config: LinkerConfig | None = None,
+    run_ts: datetime | None = None,
+    existing_edges: DataFrame | None = None,
+    use_lsh: bool = True,
+    lsh_kwargs: dict | None = None,
+) -> DataFrame:
+    """Produce the edge (triple) DataFrame for the given node table.
+
+    Pass `existing_edges` for incremental runs — proposals already present
+    as (src, dst, relation) are dropped (J11, redb_storage.rs:812-827).
+    """
+    cfg = config or LinkerConfig()
+    run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
+    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+
+    raw_pairs = (
+        candidate_pairs(live, **(lsh_kwargs or {})) if use_lsh else brute_force_pairs(live)
+    )
+    ordered = symmetrize(raw_pairs)
+    with_attrs = _attach_attrs(ordered, live)
+    proposed = apply_link_rules(with_attrs, cfg)
+
+    if existing_edges is not None:
+        proposed = proposed.join(
+            existing_edges.select("src", "dst", "relation"), ["src", "dst", "relation"], "left_anti"
+        )
+
+    # first rule wins per (src, dst, relation) — proposal order semantics
+    w_dup = Window.partitionBy("src", "dst", "relation").orderBy("priority")
+    # per-node cap in candidate-score order (auto_linker.rs:259-264); tie-break
+    # (dst, priority) makes the distributed order deterministic (SURVEY §7).
+    w_cap = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"), F.asc("priority"))
+
+    deduped = (
+        proposed.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("cap_rn", F.row_number().over(w_cap))
+        .filter(F.col("cap_rn") <= cfg.max_edges_per_node)
+        .drop("cap_rn")
+    )
+
+    ts = F.to_timestamp(F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S")))
+    return deduped.select(
+        F.sha2(F.concat_ws("\x00", "src", "dst", "relation"), 256).substr(1, 32).alias("edge_id"),
+        "src",
+        "dst",
+        "relation",
+        F.col("weight").cast("float").alias("weight"),
+        F.struct(
+            F.col("ptype").alias("ptype"),
+            F.col("detail").alias("detail"),
+            F.col("pscore").alias("score"),
+        ).alias("provenance"),
+        ts.alias("created_at"),
+        ts.alias("updated_at"),
+    )
