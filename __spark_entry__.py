@@ -1,38 +1,579 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship KG query on sf0.001.
+queries()     — one entry per implemented operator family (SURVEY §2).
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query
+                (tables region nation customer supplier part orders lineitem
+                events documents embeddings are pre-registered views).
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RUN_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: full KG pipeline on pages derived from the documents table
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract → link → top-20 most-connected entities (sf0.001)."""
+    from cortex_spark.corpus import pages_from_documents
+    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.graph.degree import most_connected
+    from cortex_spark.linker.pipeline import link_nodes
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
+    return most_connected(nodes, edges, n=20)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical HTML→text invariant: render documents.text into HTML,
+    extract with the pandas-UDF parser, return (doc_id, text) — the oracle is
+    the raw documents table, so any extraction drift hash-mismatches."""
+    from cortex_spark.corpus import pages_from_documents
+    from cortex_spark.extract.html import extract_text_udf
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.withColumn("doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint"))
+        .select("doc_id", extract_text_udf(F.col("html")).alias("text"))
+    )
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cortex_spark.extract.classify import classify_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", classify_col(F.col("text")).alias("kind")
+    )
+
+
+def q_node_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 NodeFilter semantics over documents: AND of predicates, stable
+    ordering, offset+limit."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .offset(5)
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 stats: nodes_by_kind over classified documents."""
+    from cortex_spark.extract.classify import classify_col
+
+    return (
+        _docs(spark, sf_dir)
+        .select(classify_col(F.col("text")).alias("kind"))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A5 window top-k: 5 longest docs per language."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis ops: token counts + subword estimate + quality."""
+    from cortex_spark.functions.text import quality_score_col, subword_estimate_col, token_count_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        subword_estimate_col(F.col("text")).alias("n_subwords_est"),
+        F.round(quality_score_col(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cortex_spark.dataops.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First MinHash band value per doc (md5-string min-hash — engine-portable)."""
+    from cortex_spark.dataops.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), k=4)
+    return sigs.select("doc_id", F.col("sig")[0].alias("mh0"), F.col("sig")[3].alias("mh3"))
+
+
+def q_ngram_jaccard_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram Jaccard on a deterministic pair window (doc_id delta ≤ 3,
+    same source) — the SQL-checkable slice of the near-dup join."""
+    from cortex_spark.dataops.dedup import shingles_col
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", shingles_col(F.col("text")).alias("sh"))
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), F.col("sh").alias("a_sh"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("sh").alias("b_sh"))
+    pairs = a.join(b, (F.col("a_src") == F.col("b_src")) & (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 3))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+    return pairs.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors (similarity search
+    baseline; LSH variant is rows-only checked via q_ann_lsh)."""
+    from cortex_spark.dataops.ann import ann_topk_bruteforce
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    res = ann_topk_bruteforce(e, q, k=10)
+    return res.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"), "rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only check (stochastic recall)."""
+    from cortex_spark.dataops.ann import ann_topk_lsh
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    return ann_topk_lsh(e, q, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity over a deterministic pair window (vec_id delta ≤ 20)
+    at threshold 0.3 — exercises the cosine kernel + range pair join."""
+    e = _embs(spark, sf_dir)
+    from cortex_spark.functions.similarity import cosine_col
+
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    pairs = a.join(b, (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 20))
+    return (
+        pairs.select("a_id", "b_id", F.round(cosine_col(F.col("a_vec"), F.col("b_vec")), 6).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/J4 analogue: 30-min-gap sessionization per user over events."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ets = F.col("ts").cast("timestamp").cast("long")
+    gap = ets - F.lag(ets).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def q_decision_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semantics on events: signup → first subsequent purchase per user
+    within 7 days (decision×event same-session ordered join)."""
+    ev = _events(spark, sf_dir)
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("event_id").alias("signup_id"), F.col("ts").alias("signup_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    j = s.join(p, "user_id").filter(
+        (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts").cast("timestamp").cast("long") - F.col("signup_ts").cast("timestamp").cast("long") <= 7 * 86400)
+    )
+    return j.groupBy("signup_id").agg(
+        F.min(F.struct("purchase_ts", "purchase_id"))["purchase_id"].alias("first_purchase_id"),
+        F.count(F.lit(1)).alias("n_purchases_7d"),
+    )
+
+
+def q_temporal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 temporal-proximity rule shape: same-user event pairs ≤ 30 min apart."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("user_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("user_id"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("b_id") > F.col("a_id"))
+            & (F.abs(F.col("a_ts").cast("timestamp").cast("long") - F.col("b_ts").cast("timestamp").cast("long")) <= 1800)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 decay formula over events (value as weight, props-independent):
+    w' = value · exp(-0.01 · days_since(ts))."""
+    ev = _events(spark, sf_dir)
+    now = F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+    days = (now.cast("double") - F.col("ts").cast("timestamp").cast("double")) / 86400.0
+    decayed = F.col("value") * F.exp(F.lit(-0.01) * days)
+    return ev.select("event_id", F.round(decayed, 6).alias("decayed_value")).filter(
+        F.col("decayed_value") >= 1.0
+    )
+
+
+def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 degree over the part-supplier co-occurrence graph (lineitem)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = li.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    out_d = e.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
+    in_d = e.groupBy(F.col("dst").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
+    return (
+        out_d.unionByName(in_d)
+        .groupBy("node_id")
+        .agg(F.sum("d").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("node_id"))
+        .limit(100)
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (agg/filter baseline for the relational ops)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg/top-k: revenue per order for a customer segment."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+def q_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 query DSL compiled to a Column over a nodes frame derived from
+    documents (kind via classifier, importance via quality score)."""
+    from cortex_spark.extract.classify import classify_col
+    from cortex_spark.functions.text import quality_score_col
+    from cortex_spark.query_dsl import compile_column, parse
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        classify_col(F.col("text")).alias("kind"),
+        quality_score_col(F.col("text")).alias("importance"),
+        F.lit(False).alias("deleted"),
+    )
+    ast = parse("(kind:decision OR kind:goal) AND importance>0.5", now=RUN_TS)
+    return d.filter(compile_column(ast)).select("doc_id", "kind", F.round("importance", 6).alias("importance"))
+
+
+def q_hybrid_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/J12 blend math: combined = 0.7·vec + 0.3·graph over deterministic
+    pseudo-scores derived from embeddings."""
+    e = _embs(spark, sf_dir)
+    vec = (F.col("vec_id") % 100).cast("double") / 100.0
+    graph = (F.col("label").cast("double") + 1.0) / 10.0
+    return e.select(
+        "vec_id", F.round(F.lit(0.7) * vec + F.lit(0.3) * graph, 6).alias("combined")
+    ).orderBy(F.desc("combined"), F.asc("vec_id")).limit(50)
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 connected components over the exact-dup graph of documents
+    (docs sharing a normalized-text hash are linked; components = dup
+    clusters). Oracle: DuckDB min-hash-group representative — identical
+    semantics because each dup group is a clique."""
+    from cortex_spark.canon.components import connected_components
+    from cortex_spark.dataops.dedup import normalized_text_col
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("node_id"), F.md5(normalized_text_col(F.col("text"))).alias("h")
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), "h")
+        .filter(F.col("a.node_id").cast("bigint") < F.col("b.node_id").cast("bigint"))
+        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node_id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.4 briefing report over the KG built from documents (rows-only)."""
+    from cortex_spark.briefing import generate_briefing
+    from cortex_spark.corpus import pages_from_documents
+    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.linker.pipeline import link_nodes
+
+    pages = pages_from_documents(spark, sf_dir)
+    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
+    agent = nodes.select("source_agent").orderBy("source_agent").first()["source_agent"]
+    return generate_briefing(nodes, edges, agent, now=RUN_TS.replace(tzinfo=None))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG pipeline's emitted triples by relation/provenance (rows-only;
+    P/R vs the exact-candidate path is asserted in pytest)."""
+    from cortex_spark.corpus import pages_from_documents
+    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.linker.pipeline import link_nodes
+
+    pages = pages_from_documents(spark, sf_dir)
+    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
+    return edges.groupBy("relation", F.col("provenance.ptype").alias("ptype")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text": q_extract_text,
+        "classify": q_classify,
+        "node_filter": q_node_filter,
+        "kind_histogram": q_kind_histogram,
+        "topk_per_group": q_topk_per_group,
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "ngram_jaccard_window": q_ngram_jaccard_window,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "sessionize": q_sessionize,
+        "decision_to_event": q_decision_to_event,
+        "temporal_pairs": q_temporal_pairs,
+        "decay": q_decay,
+        "degree": q_degree,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "dsl_filter": q_dsl_filter,
+        "hybrid_blend": q_hybrid_blend,
+        "cc": q_cc,
+        "briefing": q_briefing,
+        "kg_triples": q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CLASSIFY_SQL_CASE = """
+    CASE
+      WHEN lower(text) LIKE '%decided%' OR lower(text) LIKE '%decision%'
+        OR lower(text) LIKE '%chose%' OR lower(text) LIKE '%will use%' THEN 'decision'
+      WHEN lower(text) LIKE '%goal%' OR lower(text) LIKE '%target%'
+        OR lower(text) LIKE '%aim%' OR lower(text) LIKE '%objective%' THEN 'goal'
+      WHEN lower(text) LIKE '%prefer%' OR lower(text) LIKE '%always%'
+        OR lower(text) LIKE '%never%' OR lower(text) LIKE '%style%' THEN 'preference'
+      WHEN lower(text) LIKE '%pattern%' OR lower(text) LIKE '%recurring%'
+        OR lower(text) LIKE '%tendency%' THEN 'pattern'
+      WHEN lower(text) LIKE '%happened%' OR lower(text) LIKE '%event%'
+        OR lower(text) LIKE '%occurred%' THEN 'event'
+      WHEN lower(text) LIKE '%observed%' OR lower(text) LIKE '%noticed%'
+        OR lower(text) LIKE '%note%' THEN 'observation'
+      ELSE 'fact'
+    END
+"""
+
+_QUALITY_SQL = """
+    0.4 * least(1.0, len(list_filter(string_split(lower(text), ' '), t -> t <> '')) / 100.0)
+    + 0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1))
+    + 0.3 * least(1.0, 5.0 * len(list_filter(string_split(lower(text), ' '),
+        t -> t IN ('the','and','of','to','a','in','is','it','that','for')))
+        / greatest(len(list_filter(string_split(lower(text), ' '), t -> t <> '')), 1))
+"""
+
+_SHINGLES_SQL = """
+    list_sort(list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_cte = (
+        "WITH t AS (SELECT doc_id, source, "
+        "list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks "
+        "FROM documents), "
+        f"sh AS (SELECT doc_id, source, {_SHINGLES_SQL} AS sh FROM t) "
+    )
+    return {
+        "extract_text": "SELECT doc_id, text FROM documents",
+        "classify": f"SELECT doc_id, {_CLASSIFY_SQL_CASE} AS kind FROM documents",
+        "node_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200 "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 50 OFFSET 5"
+        ),
+        "kind_histogram": (
+            f"SELECT kind, count(*) AS n FROM (SELECT {_CLASSIFY_SQL_CASE} AS kind FROM documents) GROUP BY kind"
+        ),
+        "topk_per_group": (
+            "SELECT lang, doc_id, n_chars, rnk FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk "
+            "FROM documents) WHERE rnk <= 5"
+        ),
+        "text_profile": (
+            "SELECT doc_id, "
+            "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens, "
+            "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est, "
+            f"round(({_QUALITY_SQL}), 6) AS quality FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash, "
+            "min(doc_id) AS canonical_id, count(*) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "minhash_signature": (
+            toks_cte
+            + "SELECT doc_id, "
+            "list_min(list_transform(sh, s -> md5('0|' || s))) AS mh0, "
+            "list_min(list_transform(sh, s -> md5('3|' || s))) AS mh3 "
+            "FROM sh"
+        ),
+        "ngram_jaccard_window": (
+            toks_cte
+            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
+            "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard "
+            "FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 3"
+        ),
+        "ann_topk": (
+            "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("
+            "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS score, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id) WHERE rank <= 10"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos "
+            "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id AND b.vec_id - a.vec_id <= 20 "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3"
+        ),
+        "sessionize": (
+            "WITH g AS (SELECT user_id, event_id, ts, value, "
+            "CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, event_id, ts, value, "
+            "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g) "
+            "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, round(sum(value), 6) AS total_value "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "decision_to_event": (
+            "WITH s AS (SELECT user_id, event_id AS signup_id, ts AS signup_ts FROM events WHERE event_type = 'signup'), "
+            "p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase') "
+            "SELECT signup_id, "
+            "min_by(purchase_id, strftime(purchase_ts, '%Y%m%d%H%M%S%f') || '|' || lpad(purchase_id::varchar, 12, '0')) AS first_purchase_id, "
+            "count(*) AS n_purchases_7d "
+            "FROM s JOIN p USING (user_id) "
+            "WHERE purchase_ts > signup_ts AND epoch(purchase_ts) - epoch(signup_ts) <= 7*86400 "
+            "GROUP BY signup_id"
+        ),
+        "temporal_pairs": (
+            "SELECT a.user_id AS user_id, count(*) AS n_pairs FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND b.event_id > a.event_id "
+            "AND abs(epoch(a.ts) - epoch(b.ts)) <= 1800 GROUP BY a.user_id"
+        ),
+        "decay": (
+            "SELECT event_id, round(value * exp(-0.01 * ((epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(ts)) / 86400.0)), 6) AS decayed_value "
+            "FROM events WHERE value * exp(-0.01 * ((epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(ts)) / 86400.0)) >= 1.0"
+        ),
+        "degree": (
+            "WITH e AS (SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem), "
+            "d AS (SELECT src AS node_id, count(*) AS d FROM e GROUP BY 1 "
+            "UNION ALL SELECT dst AS node_id, count(*) AS d FROM e GROUP BY 1) "
+            "SELECT node_id, CAST(sum(d) AS BIGINT) AS degree FROM d GROUP BY node_id ORDER BY degree DESC, node_id ASC LIMIT 100"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3ish": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 20"
+        ),
+        "dsl_filter": (
+            f"WITH d AS (SELECT doc_id, {_CLASSIFY_SQL_CASE} AS kind, ({_QUALITY_SQL}) AS importance FROM documents) "
+            "SELECT doc_id, kind, round(importance, 6) AS importance FROM d "
+            "WHERE kind IN ('decision', 'goal') AND importance > 0.5"
+        ),
+        "hybrid_blend": (
+            "SELECT vec_id, round(0.7 * ((vec_id % 100) / 100.0) + 0.3 * ((label + 1.0) / 10.0), 6) AS combined "
+            "FROM embeddings ORDER BY combined DESC, vec_id ASC LIMIT 50"
+        ),
+        "cc": (
+            "WITH h AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h FROM documents), "
+            "g AS (SELECT h, min(doc_id) AS rep, count(*) AS n FROM h GROUP BY h) "
+            "SELECT doc_id, rep AS component FROM h JOIN g USING (h) WHERE n > 1"
+        ),
+        # ann_lsh / briefing / kg_triples: non-SQL-expressible (stochastic
+        # bucketing / full KG pipeline) → rows-only checks.
+    }

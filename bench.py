@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries + the KG pipeline at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "kg": {...}}
+
+The KG job runs on a synthetic page corpus scaled off the sf dir (pages =
+40 × |documents|, i.e. sf0.1 → 20k pages) and reports nodes/sec and
+triples/sec alongside the per-query latencies. Set SPARK_GRAFT_BENCH_PAGES
+to override the corpus size, SPARK_GRAFT_CPUS for parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from cortex_spark.corpus import synth_pages
+    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.linker.pipeline import link_nodes
+    from cortex_spark.canon.dedup import dedup_actions, dedup_pairs
+    from cortex_spark.canon.merge import canonicalize
+    from cortex_spark.session import get_spark
+
+    spark = get_spark("cortex-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+    t_total = time.time()
+
+    # 1. headline relational/dataops queries (forced with a count)
+    HEADLINE = [
+        "tpch_q1",
+        "tpch_q3ish",
+        "degree",
+        "exact_dedup",
+        "minhash_signature",
+        "ann_topk",
+        "ann_lsh",
+        "sessionize",
+        "text_profile",
+        "classify",
+        "extract_text",
+    ]
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        results[name] = round(time.time() - t0, 3)
+
+    # 2. KG pipeline on a synthetic corpus scaled off the sf dir
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_pages = pages_n or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 2 * n_docs))
+    t0 = time.time()
+    pages = synth_pages(spark, n_pages, seed=42)
+    nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
+    n_nodes = nodes.count()
+    t_extract = time.time() - t0
+
+    t1 = time.time()
+    edges = link_nodes(nodes, use_lsh=True).localCheckpoint()
+    n_edges = edges.count()
+    t_link = time.time() - t1
+
+    t2 = time.time()
+    pairs = dedup_pairs(nodes)
+    actions = dedup_actions(pairs, nodes, edges)
+    cnodes, cedges = canonicalize(nodes, edges, actions)
+    n_cedges = cedges.count()
+    t_canon = time.time() - t2
+
+    kg_secs = time.time() - t0
+    results["kg_pipeline"] = round(kg_secs, 3)
+    kg = {
+        "pages": n_pages,
+        "nodes": n_nodes,
+        "edges": n_edges,
+        "canonical_edges": n_cedges,
+        "extract_sec": round(t_extract, 2),
+        "link_sec": round(t_link, 2),
+        "canon_sec": round(t_canon, 2),
+        "nodes_per_sec": round(n_nodes / kg_secs, 1),
+        "triples_per_sec": round(n_edges / kg_secs, 1),
+    }
+
+    total = time.time() - t_total
+    return {
+        "metric": "kg_pipeline_plus_headline_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cpus": cpus,
+        "kg": kg,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = run_bench(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Briefing report (SURVEY §3.4): ordered ranked sections with seen-set
+exclusion, re-expressed as a DAG of filtered/ranked DataFrames with ordered
+anti-joins (reference briefing/engine.rs:139-289).
+
+Ranking per section (A5, engine.rs:77-91,329-338): importance ≥ 0.3,
+sort (importance desc, access_count desc), top 10 per section, global 50.
+Sections (in exclusion order): identity (agent's own nodes), goals,
+patterns (2-hop applies_to/instance_of neighborhood), unresolved
+contradictions (contradicts-edge endpoints), recent events (48 h window),
+then auto-discovered sections — one per non-default kind, ordered by
+Σ importance (A6, engine.rs:725-768).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cortex_spark.graph.traverse import bfs
+from cortex_spark.schemas import DEFAULT_KINDS
+
+MIN_IMPORTANCE = 0.3
+PER_SECTION = 10
+GLOBAL_CAP = 50
+RECENT_HOURS = 48
+
+
+def _rank(df: DataFrame, limit: int = PER_SECTION) -> DataFrame:
+    return (
+        df.filter(F.col("importance") >= MIN_IMPORTANCE)
+        .orderBy(F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
+        .limit(limit)
+    )
+
+
+def generate_briefing(
+    nodes: DataFrame,
+    edges: DataFrame,
+    agent: str,
+    now: datetime,
+) -> DataFrame:
+    """Returns (section, section_rank, node_id, kind, title, importance)."""
+    spark = nodes.sparkSession
+    live = nodes.filter(~F.col("deleted"))
+    base_cols = ["node_id", "kind", "title", "importance", "access_count"]
+
+    sections: list[tuple[str, DataFrame]] = []
+    agent_nodes = live.filter(F.col("source_agent") == agent)
+    sections.append(("identity", _rank(agent_nodes.filter(F.col("kind").isin("agent", "preference")).select(*base_cols))))
+    sections.append(("goals", _rank(agent_nodes.filter(F.col("kind") == "goal").select(*base_cols))))
+
+    # patterns: pattern nodes + their 2-hop applies_to/instance_of neighborhood
+    pattern_ids = agent_nodes.filter(F.col("kind") == "pattern").select("node_id")
+    if not pattern_ids.isEmpty():
+        hood = bfs(edges, pattern_ids, max_depth=2, relation=["applies_to", "instance_of"])
+        patt = live.join(hood.select("node_id"), "node_id").select(*base_cols)
+    else:
+        patt = agent_nodes.filter(F.col("kind") == "pattern").select(*base_cols)
+    sections.append(("patterns", _rank(patt)))
+
+    contra_ids = (
+        edges.filter(F.col("relation") == "contradicts")
+        .select(F.explode(F.array("src", "dst")).alias("node_id"))
+        .distinct()
+    )
+    sections.append(("contradictions", _rank(live.join(contra_ids, "node_id").select(*base_cols))))
+
+    cutoff = F.lit((now - timedelta(hours=RECENT_HOURS)).strftime("%Y-%m-%d %H:%M:%S"))
+    sections.append(
+        ("recent_events", _rank(agent_nodes.filter((F.col("kind") == "event") & (F.col("created_at") >= F.to_timestamp(cutoff))).select(*base_cols)))
+    )
+
+    # active context (engine.rs:446-549): most recent activity for the agent,
+    # any kind — anchored on the newest nodes rather than a 48 h wall
+    sections.append(
+        (
+            "active_context",
+            agent_nodes.filter(F.col("importance") >= MIN_IMPORTANCE)
+            .orderBy(F.desc("created_at"), F.asc("node_id"))
+            .limit(PER_SECTION)
+            .select(*base_cols),
+        )
+    )
+
+    # auto-discovered: novel kinds ordered by Σ importance (A6)
+    novel = (
+        live.filter(~F.col("kind").isin(DEFAULT_KINDS))
+        .groupBy("kind")
+        .agg(F.sum("importance").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("kind"))
+        .collect()
+    )
+    for row in novel:
+        sections.append((f"more_{row['kind']}", _rank(live.filter(F.col("kind") == row["kind"]).select(*base_cols))))
+
+    # ordered seen-set exclusion (U2, engine.rs:154-250) + global cap
+    seen = spark.createDataFrame([], "node_id string")
+    out = None
+    remaining = GLOBAL_CAP
+    for name, sec in sections:
+        if remaining <= 0:
+            break
+        picked = sec.join(seen, "node_id", "left_anti").limit(remaining)
+        picked = picked.localCheckpoint(eager=True)
+        n = picked.count()
+        if n == 0:
+            continue
+        remaining -= n
+        seen = seen.unionByName(picked.select("node_id")).localCheckpoint(eager=True)
+        labeled = picked.withColumn("section", F.lit(name))
+        out = labeled if out is None else out.unionByName(labeled)
+    if out is None:
+        return spark.createDataFrame(
+            [], "node_id string, kind string, title string, importance float, access_count bigint, section string, section_rank int"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("section").orderBy(F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
+    return out.withColumn("section_rank", F.row_number().over(w)).select(
+        "section", "section_rank", "node_id", "kind", "title", "importance"
+    )

@@ -29,11 +29,11 @@ def _neighborhoods(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(nbrs: DataFrame) -> DataFrame:
-    """Connect strictly-larger neighbors to the min of N(u) ∪ {u}."""
-    mins = (
-        nbrs.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
-    )
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris large-star: neighborhoods over BOTH directions; connect every
+    strictly-larger neighbor v of u to m = min(N(u) ∪ {u})."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -43,12 +43,15 @@ def _large_star(nbrs: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(nbrs: DataFrame) -> DataFrame:
-    """Connect all ≤-neighbors (and u itself) to min of the ≤-neighborhood."""
-    le = nbrs.filter(F.col("v") <= F.col("u"))
-    mins = le.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris small-star: orient each edge high→low, connect all of u's
+    ≤-neighbors (and u) to m = min of that set."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m <= all v <= u
     out = (
-        le.join(mins, "u")
+        oriented.join(mins, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
         .filter(F.col("u") != F.col("v"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cortex_spark.linker.lsh import brute_force_pairs, candidate_pairs
+from cortex_spark.linker.lsh import brute_force_pairs, candidate_topk
 
 SUPERSEDE_SIM = 0.98
 IMPORTANCE_GAP = 0.3
@@ -43,7 +43,22 @@ def dedup_pairs(
 ) -> DataFrame:
     """Canonical (a_id < b_id) near-duplicate pairs with cosine ≥ threshold."""
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
-    pairs = candidate_pairs(live, **(lsh_kwargs or {})) if use_lsh else brute_force_pairs(live)
+    if use_lsh:
+        # threshold search via top-k candidates (dedup-grade pairs are always
+        # within a node's top neighbors), canonicalized to a_id < b_id
+        topk = candidate_topk(live, **(lsh_kwargs or {}))
+        pairs = (
+            topk.filter(F.col("score") >= dedup_threshold)
+            .select(
+                F.least("a_id", "b_id").alias("a_id"),
+                F.greatest("a_id", "b_id").alias("b_id"),
+                "score",
+            )
+            .groupBy("a_id", "b_id")
+            .agg(F.max("score").alias("score"))
+        )
+        return pairs
+    pairs = brute_force_pairs(live)
     return pairs.filter(F.col("score") >= dedup_threshold)
 
 

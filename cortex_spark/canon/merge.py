@@ -163,23 +163,25 @@ def dedup_edges_for_actions(actions: DataFrame, cmap: DataFrame, run_ts: datetim
     merges = actions.filter(F.col("action") == "merge")
     sups = actions.filter(F.col("action") == "supersede")
     links = actions.filter(F.col("action") == "link")
-    out = (
-        _mk(merges, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.lit(1.0))
-        .unionByName(_mk(sups, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.col("score")))
-        .unionByName(_mk(links, F.col("a_id"), F.col("b_id"), "related_to", F.col("score"), F.col("score")))
+    # supersedes edges deliberately point AT the tombstoned node — the
+    # reference records the merge/supersede lineage this way (dedup.rs:282-295)
+    sup_edges = _mk(merges, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.lit(1.0)).unionByName(
+        _mk(sups, F.col("keep"), F.col("retire"), "supersedes", F.lit(0.95), F.col("score"))
     )
-    # redirect through canonical map so edges land on canonical nodes
+    # link edges connect live nodes → redirect through the canonical map so
+    # they never dangle on a tombstone
+    link_edges = _mk(links, F.col("a_id"), F.col("b_id"), "related_to", F.col("score"), F.col("score"))
     src_map = cmap.select(F.col("node_id").alias("src"), F.col("canonical").alias("src_c"))
     dst_map = cmap.select(F.col("node_id").alias("dst"), F.col("canonical").alias("dst_c"))
-    out = (
-        out.join(F.broadcast(src_map), "src", "left")
+    link_edges = (
+        link_edges.join(F.broadcast(src_map), "src", "left")
         .join(F.broadcast(dst_map), "dst", "left")
         .withColumn("src", F.coalesce("src_c", "src"))
         .withColumn("dst", F.coalesce("dst_c", "dst"))
         .drop("src_c", "dst_c")
         .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst", "relation"])
     )
+    out = sup_edges.unionByName(link_edges).dropDuplicates(["src", "dst", "relation"])
     return out.select(
         F.sha2(F.concat_ws("\x00", "src", "dst", "relation"), 256).substr(1, 32).alias("edge_id"),
         "src",

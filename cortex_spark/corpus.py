@@ -40,11 +40,15 @@ BASE_TS = datetime(2026, 1, 1, tzinfo=timezone.utc)
 N_DOMAINS = 50
 CLUSTER_SIZE = 8  # docs per ±30-min temporal cluster
 
-_WORDS = (
+_BASE_WORDS = (
     "graph memory engine node edge vector index spark batch shuffle "
     "partition query latency storage schema corpus crawl entity relation "
     "pipeline lineage metric checkpoint cluster domain token embed"
 ).split()
+# widen the vocabulary so unrelated documents are actually dissimilar
+# (cosine baseline ≈ 0) — similarity comes from PLANTED near-dups/entities,
+# not from global vocab overlap, mirroring real web text.
+_WORDS = _BASE_WORDS + [f"term{i:03d}" for i in range(400)]
 _ENTITIES = [f"entity{i:03d}" for i in range(120)]
 _KIND_SNIPPETS = [
     "we decided to adopt this approach",  # decision

@@ -13,15 +13,17 @@ from pyspark.sql import functions as F
 
 
 def dot_col(a: Column, b: Column) -> Column:
+    # accumulate in float64: float32 element products would drift from any
+    # double-precision oracle at the 1e-6 rounding boundary
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm_col(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(a.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine_col(a: Column, b: Column) -> Column:

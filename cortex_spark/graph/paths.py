@@ -1,0 +1,109 @@
+"""Shortest paths as iterative relaxation joins (SURVEY §2.8 G4-G5).
+
+- shortest_path_unweighted: BFS with parent tracking, path reconstruction
+  (reference graph/paths.rs:57-110,297-325).
+- dijkstra: Bellman-Ford-style relaxation (distributed analogue of
+  paths.rs:113-198): cost of an edge = 1 − weight (higher weight = lower
+  cost, paths.rs:178); the reference also reports path weight = Π edge
+  weights (paths.rs:345-355), computed here as exp(Σ log w).
+
+Both keep per-node `struct(cost, path)` state and converge when no row
+improves — each iteration is one join + one min-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges_proj(edges: DataFrame, directed: bool) -> DataFrame:
+    e = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("weight").cast("double").alias("w")
+    )
+    if directed:
+        return e
+    return e.unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("weight").cast("double").alias("w"))
+    )
+
+
+def shortest_path_unweighted(
+    edges: DataFrame, source: str, target: str, max_depth: int = 25, directed: bool = True
+) -> list[str] | None:
+    """Hop-minimal path source→target as a list of node ids (None if no path).
+
+    Deterministic tie-break: lexicographically smallest path among equal-hop
+    paths (the reference's order depends on adjacency iteration order, which
+    is not reproducible — documented in SURVEY §7)."""
+    spark = edges.sparkSession
+    adj = _edges_proj(edges, directed).cache()
+    try:
+        state = spark.createDataFrame([(source, [source])], "node_id string, path array<string>")
+        for _ in range(max_depth):
+            if not state.filter(F.col("node_id") == target).isEmpty():
+                break
+            grown = (
+                state.join(adj, state["node_id"] == adj["u"])
+                .select(F.col("v").alias("node_id"), F.concat(F.col("path"), F.array(F.col("v"))).alias("path"))
+            )
+            # keep one (shortest, lexicographically-min) path per node; drop
+            # nodes already settled in earlier rounds (they were shorter)
+            settled = state.select("node_id")
+            grown = grown.join(settled, "node_id", "left_anti")
+            grown = grown.groupBy("node_id").agg(F.min("path").alias("path"))
+            grown = grown.localCheckpoint(eager=True)
+            if grown.isEmpty():
+                break
+            state = state.unionByName(grown)
+        hit = state.filter(F.col("node_id") == target).select("path").first()
+        return list(hit["path"]) if hit else None
+    finally:
+        adj.unpersist()
+
+
+def dijkstra(
+    edges: DataFrame, source: str, target: str | None = None, max_iter: int = 30, directed: bool = True
+) -> DataFrame:
+    """Min-cost distances from source; cost = Σ(1−w), path_weight = Πw.
+
+    Returns (node_id, cost, path_weight, path). Bellman-Ford relaxation:
+    converges in ≤ |V| rounds, early-exits when no distance improves.
+    """
+    spark = edges.sparkSession
+    adj = _edges_proj(edges, directed).withColumn("ecost", F.lit(1.0) - F.col("w")).cache()
+    try:
+        state = spark.createDataFrame(
+            [(source, 0.0, 0.0, [source])],
+            "node_id string, cost double, neg_log_w double, path array<string>",
+        )
+        for _ in range(max_iter):
+            relaxed = (
+                state.join(adj, state["node_id"] == adj["u"])
+                .select(
+                    F.col("v").alias("node_id"),
+                    (state["cost"] + adj["ecost"]).alias("cost"),
+                    (F.col("neg_log_w") - F.log(F.greatest(F.col("w"), F.lit(1e-12)))).alias("neg_log_w"),
+                    F.concat(F.col("path"), F.array(F.col("v"))).alias("path"),
+                )
+            )
+            merged = (
+                state.unionByName(relaxed)
+                .groupBy("node_id")
+                .agg(F.min(F.struct("cost", "neg_log_w", "path")).alias("s"))
+                .select("node_id", F.col("s.cost").alias("cost"), F.col("s.neg_log_w").alias("neg_log_w"), F.col("s.path").alias("path"))
+            )
+            merged = merged.localCheckpoint(eager=True)
+            improved = (
+                merged.join(state.select("node_id", F.col("cost").alias("old")), "node_id", "left")
+                .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            )
+            state = merged
+            if improved.isEmpty():
+                break
+        out = state.select(
+            "node_id", "cost", F.exp(-F.col("neg_log_w")).alias("path_weight"), "path"
+        )
+        return out.filter(F.col("node_id") == target) if target else out
+    finally:
+        adj.unpersist()

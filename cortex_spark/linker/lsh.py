@@ -30,8 +30,12 @@ from pyspark.sql.types import ArrayType, LongType
 
 from cortex_spark.functions.similarity import cosine_col
 
-DEFAULT_PLANES = 16
-DEFAULT_BANDS = 8
+# 20 bands × 3 rows: high recall across the whole similarity range the rule
+# engine consumes (≥0.93 even for near-orthogonal pairs at this scale), with
+# 8 signatures per band so buckets stay GEMM-sized. At 10^9-node scale grow
+# rows ≈ log2(n)/10 (finer buckets) and lean on max_bucket + AQE for skew.
+DEFAULT_PLANES = 60
+DEFAULT_BANDS = 20
 DEFAULT_SEED = 7
 DEFAULT_MAX_BUCKET = 2000
 
@@ -102,8 +106,10 @@ def candidate_pairs(
     keeping this frame narrow minimizes the shuffle (ids + score only).
     """
     with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
+    # shuffle ids only — vectors are re-attached after pair dedup, so the
+    # bucket self-join and dropDuplicates move 2 strings, not 2×dim floats
     sigs = (
-        with_sigs.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("vec"), F.explode("lsh_sigs").alias("sig"))
+        with_sigs.select(F.col(id_col).alias("nid"), F.explode("lsh_sigs").alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
     # hot-bucket guard: cap bucket size (quadratic blowup bound); dropped
@@ -111,15 +117,154 @@ def candidate_pairs(
     w = Window.partitionBy("sig").orderBy("nid")
     sigs = sigs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= max_bucket).drop("rn")
 
-    a = sigs.select(F.col("nid").alias("a_id"), F.col("vec").alias("a_vec"), "sig")
-    b = sigs.select(F.col("nid").alias("b_id"), F.col("vec").alias("b_vec"), "sig")
-    pairs = (
+    a = sigs.select(F.col("nid").alias("a_id"), "sig")
+    b = sigs.select(F.col("nid").alias("b_id"), "sig")
+    id_pairs = (
         a.join(b, "sig")
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    vecs = nodes.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        id_pairs.join(vecs.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec")), "a_id")
+        .join(vecs.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")), "b_id")
         .select("a_id", "b_id", cosine_col(F.col("a_vec"), F.col("b_vec")).alias("score"))
     )
     return pairs
+
+
+def candidate_topk(
+    nodes: DataFrame,
+    k: int = 100,
+    id_col: str = "node_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    dim: int | None = None,
+    target_bucket: int = 500,
+) -> DataFrame:
+    """Per-node top-k neighbors via bucketed GEMM — the scale path for the
+    ANN candidate join (J1) and the distributed analogue of per-node HNSW
+    `search(embedding, k)` (auto_linker.rs:220-221).
+
+    Physical strategy: explode band signatures → group rows per (band, sig)
+    bucket → one numpy GEMM per bucket (Arrow `applyInPandas`, BLAS — ~100×
+    faster than per-element interpreted `aggregate()` exprs) → emit each
+    row's within-bucket top-k → global `max(score)` dedupe → per-node top-k
+    window. Output: ORDERED pairs (a_id, b_id, score), both directions.
+
+    Hot buckets are truncated at max_bucket (GEMM stays ≤ max_bucket² ops);
+    AQE skew-join handles residual bucket skew.
+    """
+    import pandas as pd
+
+    if dim is None:
+        first = nodes.select(F.size(vec_col).alias("d")).filter("d is not null").first()
+        dim = int(first["d"]) if first else 384
+    if n_planes is None:
+        # adaptive band width: rows/band grows with corpus size so the mean
+        # bucket stays ~target_bucket rows (GEMM-sized); recall per band
+        # falls but 20 bands keep union recall high for rule-grade pairs
+        n = nodes.count()
+        rows = min(10, max(3, int(np.ceil(np.log2(max(n / target_bucket, 1.0)) )) ))
+        n_planes = rows * bands
+
+    # Work on 64-bit surrogate ids (xxhash64 of the string id): neighbor lists
+    # ride Arrow as array<long>/array<double> built straight from numpy —
+    # ~100× cheaper per element than array<struct> of python dicts. The
+    # string ids are joined back at the end. (Surrogate collisions are
+    # birthday-bounded: negligible below ~10^8 nodes; swap in a dense
+    # zip-with-index mapping for larger corpora.)
+    id_map = nodes.select(
+        F.col(id_col).alias("sid"), F.xxhash64(F.col(id_col)).alias("nid")
+    ).localCheckpoint(eager=False)
+
+    with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
+    sigs = (
+        with_sigs.select(
+            F.xxhash64(F.col(id_col)).alias("nid"),
+            F.col(vec_col).alias("vec"),
+            F.explode("lsh_sigs").alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One GEMM per bucket; emits ONE packed row per node (parallel
+        neighbor/score arrays) — shuffle records stay O(nodes·bands)."""
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "bs": pd.Series(dtype=object), "ss": pd.Series(dtype=object)}
+            )
+        if n > max_bucket:  # hot-bucket guard (deterministic truncation)
+            pdf = pdf.sort_values("nid").head(max_bucket)
+            n = max_bucket
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        ids = pdf["nid"].to_numpy()
+        if kk < n - 1:
+            top_idx = np.argpartition(-S, kk, axis=1)[:, :kk]
+        else:
+            top_idx = np.argsort(-S, axis=1)[:, :kk]
+        scores = np.take_along_axis(S, top_idx, axis=1)
+        nbr_ids = ids[top_idx]
+        return pd.DataFrame(
+            {"a_id": ids, "bs": list(nbr_ids), "ss": list(scores)}
+        )
+
+    per_bucket = sigs.groupBy("sig").applyInPandas(
+        bucket_topk, schema="a_id long, bs array<long>, ss array<double>"
+    )
+
+    def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-node merge: max score per neighbor, global top-k,
+        deterministic (−score, neighbor id) order."""
+        out_a, out_b, out_s = [], [], []
+        for a_id, group in pdf.groupby("a_id", sort=False):
+            bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in group["bs"]])
+            ss = np.concatenate([np.asarray(x, dtype=np.float64) for x in group["ss"]])
+            # max score per neighbor: sort (b asc, s desc), keep first per b
+            order = np.lexsort((-ss, bs))
+            bs, ss = bs[order], ss[order]
+            first = np.ones(len(bs), dtype=bool)
+            first[1:] = bs[1:] != bs[:-1]
+            bs, ss = bs[first], ss[first]
+            # top-k by (-s, b)
+            sel = np.lexsort((bs, -ss))[:k]
+            out_a.append(np.full(len(sel), a_id, dtype=np.int64))
+            out_b.append(bs[sel])
+            out_s.append(ss[sel])
+        if not out_a:
+            return pd.DataFrame(
+                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "score": pd.Series(dtype=float)}
+            )
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    merged = per_bucket.groupBy("a_id").applyInPandas(
+        merge_topk, schema="a_id long, b_id long, score double"
+    )
+    a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))
+    b_map = id_map.select(F.col("nid").alias("b_id"), F.col("sid").alias("b_sid"))
+    return (
+        merged.join(F.broadcast(a_map), "a_id")
+        .join(F.broadcast(b_map), "b_id")
+        .select(F.col("a_sid").alias("a_id"), F.col("b_sid").alias("b_id"), "score")
+    )
 
 
 def brute_force_pairs(nodes: DataFrame, id_col: str = "node_id", vec_col: str = "embedding") -> DataFrame:

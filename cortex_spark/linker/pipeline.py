@@ -21,7 +21,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cortex_spark.linker.lsh import brute_force_pairs, candidate_pairs
+from cortex_spark.linker.lsh import brute_force_pairs, candidate_topk
 from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
 
 ATTR_COLS = ["kind", "title", "body", "tags", "source_agent", "source_session", "created_at"]
@@ -64,10 +64,19 @@ def link_nodes(
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
 
-    raw_pairs = (
-        candidate_pairs(live, **(lsh_kwargs or {})) if use_lsh else brute_force_pairs(live)
-    )
-    ordered = symmetrize(raw_pairs)
+    # per-node top-k neighbor scan (the reference's HNSW `search(embedding,
+    # 100)`, auto_linker.rs:220-221), deterministic tie-break on neighbor id.
+    # LSH path: bucketed-GEMM candidate_topk. Exact path: all-pairs + window.
+    if use_lsh:
+        ordered = candidate_topk(live, k=cfg.ann_k, **(lsh_kwargs or {}))
+    else:
+        ordered = symmetrize(brute_force_pairs(live))
+        w_ann = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
+        ordered = (
+            ordered.withColumn("ann_rn", F.row_number().over(w_ann))
+            .filter(F.col("ann_rn") <= cfg.ann_k)
+            .drop("ann_rn")
+        )
     with_attrs = _attach_attrs(ordered, live)
     proposed = apply_link_rules(with_attrs, cfg)
 

@@ -128,6 +128,7 @@ class LinkerConfig:
     min_shared_tags: int = 2
     obs_pattern_min_similarity: float = 0.7
     fact_title_jaccard: float = 0.9
+    ann_k: int = 100  # per-node neighbor fan-in (HNSW search k, auto_linker.rs:220-221)
     max_edges_per_node: int = 50
     legacy_structural_enabled: bool = True
     config_rules: list[ConfigRule] = field(default_factory=list)

@@ -1,0 +1,78 @@
+"""Connected components vs a pure-Python union-find oracle, on shapes from
+FIXTURES §5 cc_chains: chains, stars, cliques, plus seeded random graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cortex_spark.canon.components import connected_components
+
+
+def union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical representative = min id in component
+    comps = {}
+    for n in nodes:
+        comps.setdefault(find(n), set()).add(n)
+    out = {}
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            out[m] = rep
+    return out
+
+
+def run_cc(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = connected_components(df)
+    return {r["node_id"]: r["component"] for r in got.collect()}
+
+
+def check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    exp = union_find(edges, nodes)
+    got = run_cc(spark, edges)
+    assert got == exp
+
+
+def test_chain(spark):
+    check(spark, [(f"n{i:02d}", f"n{i+1:02d}") for i in range(10)])
+
+
+def test_star(spark):
+    check(spark, [("hub", f"leaf{i:02d}") for i in range(20)])
+
+
+def test_clique_plus_islands(spark):
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    islands = [("x1", "x2"), ("y1", "y2")]
+    check(spark, clique + islands)
+
+
+def test_two_chains_merged_by_bridge(spark):
+    a = [(f"a{i}", f"a{i+1}") for i in range(5)]
+    b = [(f"b{i}", f"b{i+1}") for i in range(5)]
+    check(spark, a + b + [("a3", "b2")])
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    nodes = [f"v{i:03d}" for i in range(n)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
+    edges = [(u, v) for u, v in edges if u != v]
+    check(spark, edges)

@@ -1,0 +1,162 @@
+"""Training-data ops: dedup families, ANN, text QC, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cortex_spark.dataops.ann import ann_topk_bruteforce, ann_topk_lsh
+from cortex_spark.dataops.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cortex_spark.dataops.textqc import text_quality_profile
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different doc")], "doc_id long, text string"
+    )
+    got = exact_dedup(df).collect()
+    by_canon = {r["canonical_id"]: r["n_dups"] for r in got}
+    assert by_canon == {1: 2, 3: 1}  # normalization folds case+whitespace
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+    rows = [(0, base), (1, base.replace("green", "dark"))]  # near-dup pair
+    rows += [(i, f"totally unrelated document number {i} with words " + " ".join(f"w{i}{j}" for j in range(15))) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_pairs(df).collect()}
+    assert (0, 1) in pairs
+    # unrelated docs must not flood in
+    assert len(pairs) < 5
+
+
+def test_ngram_jaccard_threshold(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " u"), (2, "z y x w v different words entirely here now ok")],
+        "doc_id long, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.9
+    assert not any(2 in p for p in got)
+
+
+def test_simhash_near_pairs(spark):
+    words = [f"tok{i}" for i in range(60)]
+    base = " ".join(words)
+    variant = " ".join(words[:-1] + ["tokX"])  # one token changed
+    df = spark.createDataFrame(
+        [(0, base), (1, variant), (2, " ".join(f"other{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(df, max_hamming=8).collect()}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_embedding_neardup_bruteforce_vs_lsh(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # plant a near-dup of row 0
+    eps = base / np.linalg.norm(base)
+    v0 = np.array(rows[0][1])
+    near = v0 + 0.05 * rng.standard_normal(32)
+    rows.append((100, [float(x) for x in near / np.linalg.norm(near)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(df, threshold=0.95, use_lsh=False).collect()}
+    assert ("0", "100") in bf
+    lsh = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(df, threshold=0.95, use_lsh=True).collect()}
+    assert ("0", "100") in lsh
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, embs):
+    queries = embs.filter("vec_id < 5")
+    exact = ann_topk_bruteforce(embs, queries, k=10)
+    approx = ann_topk_lsh(embs, queries, k=10, n_planes=12, bands=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH ANN recall too low: {recall}"
+
+
+def test_ann_bruteforce_topk_matches_numpy(spark, embs):
+    rows = embs.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = 0
+    qv = vecs[q]
+    sims = sorted(
+        ((np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)), i) for i, v in vecs.items() if i != q),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    exp = [i for _, i in sims]
+    got = [
+        r["neighbor_id"]
+        for r in ann_topk_bruteforce(embs, embs.filter("vec_id = 0"), k=5).orderBy("rank").collect()
+    ]
+    assert got == exp
+
+
+def test_lsh_candidate_recall_planted_clusters(spark):
+    """J1 recall: LSH candidates must catch ≥95% of true pairs ≥0.75 cosine.
+
+    The driver's embeddings table has no pairs above 0.48 cosine (weak
+    clusters), so recall is measured on planted clusters: 30 centers × 8
+    members with controlled perturbation straddling the 0.75 threshold.
+    """
+    from cortex_spark.linker.lsh import brute_force_pairs, candidate_pairs
+
+    rng = np.random.default_rng(17)
+    rows = []
+    rid = 0
+    for c in range(30):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for m in range(8):
+            v = center + rng.uniform(0.2, 0.7) * rng.standard_normal(64) / 8.0
+            v /= np.linalg.norm(v)
+            rows.append((str(rid), [float(x) for x in v]))
+            rid += 1
+    d = spark.createDataFrame(rows, "node_id string, embedding array<float>").cache()
+    truth = brute_force_pairs(d).filter("score >= 0.75")
+    cand = candidate_pairs(d).filter("score >= 0.75")
+    t = {(r["a_id"], r["b_id"]) for r in truth.collect()}
+    c = {(r["a_id"], r["b_id"]) for r in cand.collect()}
+    assert len(t) > 100, f"expected many true pairs, got {len(t)}"
+    recall = len(t & c) / len(t)
+    assert recall >= 0.95, f"LSH recall {recall} below 0.95 ({len(t)} true pairs)"
+
+
+def test_text_quality_profile(spark, docs):
+    prof = text_quality_profile(docs)
+    row = prof.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert prof.count() == docs.count()
+    # fingerprint is deterministic
+    p2 = text_quality_profile(docs)
+    assert prof.select(F.sum(F.col("fingerprint").cast("decimal(38,0)"))).first()[0] == p2.select(
+        F.sum(F.col("fingerprint").cast("decimal(38,0)"))
+    ).first()[0]

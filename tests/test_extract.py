@@ -1,0 +1,96 @@
+"""Extraction goldens: byte-identical HTML→text, chunker and classifier
+semantics matching the reference (briefing/ingest.rs:100-211, 148-176)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from cortex_spark.corpus import gen_text, render_html
+from cortex_spark.extract.chunk import chunk_markdown, chunk_plain, chunk_text
+from cortex_spark.extract.classify import classify_py, title_py
+from cortex_spark.extract.html import extract_text_py
+
+
+def test_roundtrip_byte_identical():
+    for i in range(200):
+        t = gen_text(42, i)
+        html = render_html(t, "en", f"https://x/{i}")
+        out = extract_text_py(html)
+        assert out == t, f"doc {i} not byte-identical"
+        # determinism across calls
+        assert hashlib.sha256(extract_text_py(html).encode()).digest() == hashlib.sha256(
+            out.encode()
+        ).digest()
+
+
+def test_extract_drops_boilerplate():
+    html = b"<html><head><script>x</script><style>s</style></head><body><nav>Nav</nav><p>keep me</p><footer>foot</footer></body></html>"
+    assert extract_text_py(html) == "keep me"
+
+
+def test_extract_heading_markdownized():
+    assert extract_text_py(b"<h2>Hello</h2><p>world</p>") == "## Hello\nworld"
+
+
+def test_extract_entities_unescaped():
+    assert extract_text_py(b"<p>a &amp; b &lt;c&gt;</p>") == "a & b <c>"
+
+
+def test_chunk_markdown_reference_semantics():
+    # ingest.rs:148-166: split at '#' lines, chunks trimmed
+    text = "# A\nline1\nline2\n# B\nline3"
+    assert chunk_markdown(text) == ["# A\nline1\nline2", "# B\nline3"]
+    # leading non-heading content becomes its own first chunk
+    text2 = "intro\n# A\nbody"
+    assert chunk_markdown(text2) == ["intro", "# A\nbody"]
+    # empty → no chunks
+    assert chunk_markdown("") == []
+
+
+def test_chunk_plain_20_line_groups():
+    lines = [f"l{i}" for i in range(45)]
+    got = chunk_plain("\n".join(lines))
+    assert len(got) == 3
+    assert got[0] == "\n".join(lines[:20])
+    assert got[2] == "\n".join(lines[40:])
+    # all-empty group dropped
+    assert chunk_plain("\n\n\n") == []
+
+
+def test_chunk_auto_format():
+    assert chunk_text("# h\nx", None) == ["# h\nx"]
+    assert chunk_text("a\nb", None) == ["a\nb"]
+
+
+def test_classifier_priority_order():
+    # ingest.rs:181-211 cascade, first match wins
+    assert classify_py("we decided on the goal") == "decision"  # decision > goal
+    assert classify_py("the goal is to prefer x") == "goal"  # goal > preference
+    assert classify_py("we prefer this pattern") == "preference"  # pref > pattern
+    assert classify_py("a recurring event") == "pattern"  # pattern > event
+    assert classify_py("it occurred; we noticed") == "event"  # event > observation
+    assert classify_py("we noticed things") == "observation"
+    assert classify_py("plain statement") == "fact"
+    # substring semantics: 'goals' contains 'goal'
+    assert classify_py("our goals") == "goal"
+    # case-insensitive
+    assert classify_py("DECIDED") == "decision"
+
+
+def test_title_derivation():
+    assert title_py("## My Title \nbody") == "My Title"
+    assert title_py("plain first line\nrest") == "plain first line"
+    long = "x" * 300
+    assert title_py(long) == "x" * 200  # byte-truncate at 200 (ingest.rs:107-111)
+    assert title_py("") == "Untitled"
+
+
+def test_spark_extract_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from cortex_spark.extract.html import extract_text_udf
+
+    rows = [(render_html(gen_text(42, i), "en", f"u{i}"), gen_text(42, i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "html binary, expected string")
+    bad = df.withColumn("got", extract_text_udf("html")).filter(F.col("got") != F.col("expected"))
+    assert bad.count() == 0
