@@ -361,6 +361,32 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_write_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 write gate (substance + specificity) over documents-derived nodes:
+    importance = quality score, no tags → the tags-required and thin-body
+    rules fire deterministically."""
+    from cortex_spark.functions.text import quality_score_col
+    from cortex_spark.gate import specificity_reason, substance_reason
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.concat(F.lit("Document number "), F.col("doc_id").cast("string")).alias("title"),
+        F.col("text").alias("body"),
+        quality_score_col(F.col("text")).alias("importance"),
+        F.array().cast("array<string>").alias("tags"),
+        F.lit("fact").alias("kind"),
+    )
+    sub = substance_reason(F.col("kind"), F.col("title"), F.col("body"))
+    spec = specificity_reason(F.col("title"), F.col("body"), F.col("importance"), F.col("tags"))
+    return d.select(
+        "doc_id",
+        F.when(sub.isNotNull(), F.lit("substance"))
+        .when(spec.isNotNull(), F.lit("specificity"))
+        .otherwise(F.lit("pass"))
+        .alias("gate_check"),
+    )
+
+
 def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.4 briefing report over the KG built from documents (rows-only)."""
     from cortex_spark.briefing import generate_briefing
@@ -412,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "dsl_filter": q_dsl_filter,
+        "write_gate": q_write_gate,
         "hybrid_blend": q_hybrid_blend,
         "cc": q_cc,
         "briefing": q_briefing,
@@ -564,6 +591,15 @@ def oracle_sql() -> dict[str, str]:
             f"WITH d AS (SELECT doc_id, {_CLASSIFY_SQL_CASE} AS kind, ({_QUALITY_SQL}) AS importance FROM documents) "
             "SELECT doc_id, kind, round(importance, 6) AS importance FROM d "
             "WHERE kind IN ('decision', 'goal') AND importance > 0.5"
+        ),
+        "write_gate": (
+            f"WITH d AS (SELECT doc_id, text, ({_QUALITY_SQL}) AS imp FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN strlen(text) < 20 OR len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')) <= 1 THEN 'substance' "
+            "WHEN imp >= 0.9 AND strlen(text) < 100 THEN 'specificity' "
+            "WHEN imp >= 0.8 AND strlen(text) < 50 THEN 'specificity' "
+            "WHEN imp >= 0.7 THEN 'specificity' "
+            "ELSE 'pass' END AS gate_check FROM d"
         ),
         "hybrid_blend": (
             "SELECT vec_id, round(0.7 * ((vec_id % 100) / 100.0) + 0.3 * ((label + 1.0) / 10.0), 6) AS combined "

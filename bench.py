@@ -59,6 +59,8 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     # 2. KG pipeline on a synthetic corpus scaled off the sf dir
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_pages = pages_n or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 2 * n_docs))
+    from cortex_spark.linker.pipeline import ann_candidates
+
     t0 = time.time()
     pages = synth_pages(spark, n_pages, seed=42)
     nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
@@ -66,12 +68,13 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     t_extract = time.time() - t0
 
     t1 = time.time()
-    edges = link_nodes(nodes, use_lsh=True).localCheckpoint()
+    cands = ann_candidates(nodes).localCheckpoint()
+    edges = link_nodes(nodes, candidates=cands).localCheckpoint()
     n_edges = edges.count()
     t_link = time.time() - t1
 
     t2 = time.time()
-    pairs = dedup_pairs(nodes)
+    pairs = dedup_pairs(nodes, candidates=cands)
     actions = dedup_actions(pairs, nodes, edges)
     cnodes, cedges = canonicalize(nodes, edges, actions)
     n_cedges = cedges.count()

@@ -40,13 +40,18 @@ def dedup_pairs(
     dedup_threshold: float = 0.92,
     use_lsh: bool = True,
     lsh_kwargs: dict | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Canonical (a_id < b_id) near-duplicate pairs with cosine ≥ threshold."""
+    """Canonical (a_id < b_id) near-duplicate pairs with cosine ≥ threshold.
+
+    Pass `candidates` (linker.pipeline.ann_candidates output) to reuse the
+    linker's candidate structure instead of recomputing the similarity join.
+    """
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
-    if use_lsh:
+    if candidates is not None or use_lsh:
         # threshold search via top-k candidates (dedup-grade pairs are always
         # within a node's top neighbors), canonicalized to a_id < b_id
-        topk = candidate_topk(live, **(lsh_kwargs or {}))
+        topk = candidates if candidates is not None else candidate_topk(live, **(lsh_kwargs or {}))
         pairs = (
             topk.filter(F.col("score") >= dedup_threshold)
             .select(

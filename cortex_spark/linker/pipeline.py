@@ -47,6 +47,32 @@ def symmetrize(pairs: DataFrame) -> DataFrame:
     return pairs.unionByName(swapped)
 
 
+def ann_candidates(
+    nodes: DataFrame,
+    config: LinkerConfig | None = None,
+    use_lsh: bool = True,
+    lsh_kwargs: dict | None = None,
+) -> DataFrame:
+    """Per-node top-k neighbor scan (the reference's HNSW `search(embedding,
+    100)`, auto_linker.rs:220-221), deterministic tie-break on neighbor id.
+    LSH path: bucketed-GEMM candidate_topk. Exact path: all-pairs + window.
+
+    Compute once (and `.localCheckpoint()`) to share between the linker and
+    the dedup scanner — both consume the same candidate structure.
+    """
+    cfg = config or LinkerConfig()
+    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    if use_lsh:
+        return candidate_topk(live, k=cfg.ann_k, **(lsh_kwargs or {}))
+    ordered = symmetrize(brute_force_pairs(live))
+    w_ann = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
+    return (
+        ordered.withColumn("ann_rn", F.row_number().over(w_ann))
+        .filter(F.col("ann_rn") <= cfg.ann_k)
+        .drop("ann_rn")
+    )
+
+
 def link_nodes(
     nodes: DataFrame,
     config: LinkerConfig | None = None,
@@ -54,29 +80,19 @@ def link_nodes(
     existing_edges: DataFrame | None = None,
     use_lsh: bool = True,
     lsh_kwargs: dict | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Produce the edge (triple) DataFrame for the given node table.
 
     Pass `existing_edges` for incremental runs — proposals already present
     as (src, dst, relation) are dropped (J11, redb_storage.rs:812-827).
+    Pass `candidates` (from ann_candidates) to reuse a precomputed
+    candidate structure across linker + dedup.
     """
     cfg = config or LinkerConfig()
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
-
-    # per-node top-k neighbor scan (the reference's HNSW `search(embedding,
-    # 100)`, auto_linker.rs:220-221), deterministic tie-break on neighbor id.
-    # LSH path: bucketed-GEMM candidate_topk. Exact path: all-pairs + window.
-    if use_lsh:
-        ordered = candidate_topk(live, k=cfg.ann_k, **(lsh_kwargs or {}))
-    else:
-        ordered = symmetrize(brute_force_pairs(live))
-        w_ann = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
-        ordered = (
-            ordered.withColumn("ann_rn", F.row_number().over(w_ann))
-            .filter(F.col("ann_rn") <= cfg.ann_k)
-            .drop("ann_rn")
-        )
+    ordered = candidates if candidates is not None else ann_candidates(nodes, cfg, use_lsh, lsh_kwargs)
     with_attrs = _attach_attrs(ordered, live)
     proposed = apply_link_rules(with_attrs, cfg)
 

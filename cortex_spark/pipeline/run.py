@@ -74,21 +74,30 @@ def run_pipeline(
     summary["stages"]["nodes"] = asdict(r1)
 
     lsh_kwargs = {"n_planes": cfg.lsh_planes, "bands": cfg.lsh_bands}
+    cand_cache: dict = {}
+
+    def _cands() -> DataFrame:
+        # the similarity join is the expensive kernel — compute once, share
+        # between the linker and the dedup scanner
+        if "c" not in cand_cache:
+            from cortex_spark.linker.pipeline import ann_candidates
+
+            cand_cache["c"] = ann_candidates(
+                nodes, cfg.linker, use_lsh=cfg.use_lsh, lsh_kwargs=lsh_kwargs
+            ).localCheckpoint()
+        return cand_cache["c"]
+
     edges, r2 = store.load_or_run(
         "edges",
         h,
-        lambda: link_nodes(
-            nodes, cfg.linker, run_ts=cfg.run_dt, use_lsh=cfg.use_lsh, lsh_kwargs=lsh_kwargs
-        ),
+        lambda: link_nodes(nodes, cfg.linker, run_ts=cfg.run_dt, candidates=_cands()),
         partition_by=["relation"],
     )
     summary["stages"]["edges"] = asdict(r2)
 
     if cfg.run_dedup:
         def _canon_nodes() -> DataFrame:
-            pairs = dedup_pairs(
-                nodes, cfg.linker.dedup_threshold, use_lsh=cfg.use_lsh, lsh_kwargs=lsh_kwargs
-            )
+            pairs = dedup_pairs(nodes, cfg.linker.dedup_threshold, candidates=_cands())
             actions = dedup_actions(pairs, nodes, edges)
             n2, e2 = canonicalize(nodes, edges, actions, run_ts=cfg.run_dt)
             # stash edges for the next stage via closure
@@ -101,9 +110,7 @@ def run_pipeline(
         def _canon_edges() -> DataFrame:
             if hasattr(_canon_nodes, "edges"):
                 return _canon_nodes.edges  # computed this run
-            pairs = dedup_pairs(
-                nodes, cfg.linker.dedup_threshold, use_lsh=cfg.use_lsh, lsh_kwargs=lsh_kwargs
-            )
+            pairs = dedup_pairs(nodes, cfg.linker.dedup_threshold, candidates=_cands())
             actions = dedup_actions(pairs, nodes, edges)
             _, e2 = canonicalize(nodes, edges, actions, run_ts=cfg.run_dt)
             return e2
