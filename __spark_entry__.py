@@ -144,18 +144,18 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact trigram Jaccard on a deterministic pair window (doc_id delta ≤ 3,
-    same source) — the SQL-checkable slice of the near-dup join."""
+    """Exact trigram Jaccard over all same-source pairs (≥0.05) — the
+    SQL-checkable slice of the near-dup join."""
     from cortex_spark.dataops.dedup import shingles_col
 
     d = _docs(spark, sf_dir).select("doc_id", "source", shingles_col(F.col("text")).alias("sh"))
     a = d.select(F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), F.col("sh").alias("a_sh"))
     b = d.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("sh").alias("b_sh"))
-    pairs = a.join(b, (F.col("a_src") == F.col("b_src")) & (F.col("b_id") > F.col("a_id")) & (F.col("b_id") - F.col("a_id") <= 3))
+    pairs = a.join(b, (F.col("a_src") == F.col("b_src")) & (F.col("b_id") > F.col("a_id")))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
-    return pairs.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    return pairs.select("a_id", "b_id", F.round(jac, 6).alias("jaccard")).filter(F.col("jaccard") >= 0.05)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,7 +322,7 @@ def q_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_col(F.col("text")).alias("importance"),
         F.lit(False).alias("deleted"),
     )
-    ast = parse("(kind:decision OR kind:goal) AND importance>0.5", now=RUN_TS)
+    ast = parse("(kind:fact OR kind:decision) AND importance>0.55", now=RUN_TS)
     return d.filter(compile_column(ast)).select("doc_id", "kind", F.round("importance", 6).alias("importance"))
 
 
@@ -358,6 +358,58 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node_id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),
+    )
+
+
+def _tpch_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list over the TPC-H hierarchy: region→nation→customer→orders
+    (namespaced string ids) — a DAG with known depths for BFS oracles."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e1 = nation.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    e3 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    return e1.unionByName(e2).unionByName(e3).withColumn("relation", F.lit("has")).withColumn(
+        "weight", F.lit(1.0).cast("float")
+    ).withColumn("created_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))).withColumn(
+        "updated_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    ).withColumn("edge_id", F.concat_ws("-", "src", "dst"))
+
+
+def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 multi-source BFS: depths from region r0 over the TPC-H DAG, depth
+    ≤ 3 — the oracle reproduces it with explicit per-level joins."""
+    from cortex_spark.graph.traverse import bfs
+
+    edges = _tpch_graph(spark, sf_dir)
+    return bfs(edges, ["r0"], max_depth=3, direction="out", max_visited=None).select(
+        "node_id", "depth"
+    )
+
+
+def q_graph_roots_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 roots/leaves over the TPC-H DAG: per-class counts."""
+    edges = _tpch_graph(spark, sf_dir)
+    all_nodes = edges.select(F.col("src").alias("node_id")).unionByName(
+        edges.select(F.col("dst").alias("node_id"))
+    ).distinct()
+    roots_df = all_nodes.join(edges.select(F.col("dst").alias("node_id")).distinct(), "node_id", "left_anti")
+    leaves_df = all_nodes.join(edges.select(F.col("src").alias("node_id")).distinct(), "node_id", "left_anti")
+    return (
+        roots_df.withColumn("klass", F.lit("root"))
+        .unionByName(leaves_df.withColumn("klass", F.lit("leaf")))
+        .groupBy("klass", F.substring("node_id", 1, 1).alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -435,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pairs": q_temporal_pairs,
         "decay": q_decay,
         "degree": q_degree,
+        "bfs_depths": q_bfs_depths,
+        "graph_roots_leaves": q_graph_roots_leaves,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "dsl_filter": q_dsl_filter,
@@ -521,10 +575,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard_window": (
             toks_cte
-            + "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            + "SELECT * FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
             "round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0 "
             "ELSE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard "
-            "FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id > a.doc_id AND b.doc_id - a.doc_id <= 3"
+            "FROM sh a JOIN sh b ON a.source = b.source AND b.doc_id > a.doc_id) "
+            "WHERE jaccard >= 0.05"
         ),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("
@@ -567,6 +622,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, round(value * exp(-0.01 * ((epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(ts)) / 86400.0)), 6) AS decayed_value "
             "FROM events WHERE value * exp(-0.01 * ((epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(ts)) / 86400.0)) >= 1.0"
         ),
+        "bfs_depths": (
+            "WITH l0 AS (SELECT 'r0' AS node_id), "
+            "l1 AS (SELECT 'n' || n_nationkey AS node_id FROM nation WHERE n_regionkey = 0), "
+            "l2 AS (SELECT DISTINCT 'c' || c_custkey AS node_id FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0), "
+            "l3 AS (SELECT DISTINCT 'o' || o_orderkey AS node_id FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0) "
+            "SELECT node_id, 0 AS depth FROM l0 "
+            "UNION ALL SELECT node_id, 1 FROM l1 "
+            "UNION ALL SELECT node_id, 2 FROM l2 "
+            "UNION ALL SELECT node_id, 3 FROM l3"
+        ),
+        "graph_roots_leaves": (
+            "WITH e AS ("
+            "SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst FROM nation "
+            "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer "
+            "UNION ALL SELECT 'c' || o_custkey, 'o' || o_orderkey FROM orders), "
+            "nodes AS (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)), "
+            "r AS (SELECT node_id, 'root' AS klass FROM nodes WHERE node_id NOT IN (SELECT DISTINCT dst FROM e)), "
+            "l AS (SELECT node_id, 'leaf' AS klass FROM nodes WHERE node_id NOT IN (SELECT DISTINCT src FROM e)) "
+            "SELECT klass, substr(node_id, 1, 1) AS prefix, count(*) AS n "
+            "FROM (SELECT * FROM r UNION ALL SELECT * FROM l) GROUP BY klass, prefix"
+        ),
         "degree": (
             "WITH e AS (SELECT l_partkey AS src, l_suppkey AS dst FROM lineitem), "
             "d AS (SELECT src AS node_id, count(*) AS d FROM e GROUP BY 1 "
@@ -590,7 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "dsl_filter": (
             f"WITH d AS (SELECT doc_id, {_CLASSIFY_SQL_CASE} AS kind, ({_QUALITY_SQL}) AS importance FROM documents) "
             "SELECT doc_id, kind, round(importance, 6) AS importance FROM d "
-            "WHERE kind IN ('decision', 'goal') AND importance > 0.5"
+            "WHERE kind IN ('fact', 'decision') AND importance > 0.55"
         ),
         "write_gate": (
             f"WITH d AS (SELECT doc_id, text, ({_QUALITY_SQL}) AS imp FROM documents) "

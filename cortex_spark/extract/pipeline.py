@@ -52,18 +52,16 @@ def pages_to_nodes(
     with_embeddings: bool = True,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → nodes DataFrame (schemas.NODES)."""
-    extracted = (
-        pages.filter(F.col("lang").isin(*langs))
-        .withColumn("etext", extract_text_udf(F.col("html")))
-        .withColumn(
-            "fmt",
-            F.when(F.col("etext").rlike(r"(^|\n)#"), F.lit("markdown")).otherwise(F.lit("plain")),
-        )
+    # the chunker auto-detects markdown vs plain from the text itself — a
+    # separate `fmt` column would re-reference the extraction UDF and make
+    # Catalyst evaluate the (expensive) HTML parse twice per row
+    extracted = pages.filter(F.col("lang").isin(*langs)).withColumn(
+        "etext", extract_text_udf(F.col("html"))
     )
     chunks = extracted.select(
         "url",
         "warc_ts",
-        F.posexplode(chunk_udf(F.col("etext"), F.col("fmt"))).alias("chunk_idx", "chunk"),
+        F.posexplode(chunk_udf(F.col("etext"), F.lit(None).cast("string"))).alias("chunk_idx", "chunk"),
     ).filter(F.trim(F.col("chunk")) != "")
 
     nodes = chunks.select(

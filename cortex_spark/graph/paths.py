@@ -62,6 +62,107 @@ def shortest_path_unweighted(
         adj.unpersist()
 
 
+def weighted_traverse(
+    edges: DataFrame,
+    start: list[str],
+    max_depth: int = 3,
+    min_weight: float | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """Greedy best-first / max-weight traversal (G3, traversal.rs:318-450):
+    each node keeps the MAXIMUM product-weight path from any start (start
+    weight 1.0). Distributed as iterative max-aggregate relaxation —
+    the visit ORDER of the reference's max-heap is not reproducible
+    distributed, but the (node, best_weight) result set is identical.
+    Returns (node_id, path_weight, depth)."""
+    spark = edges.sparkSession
+    adj = _edges_proj(edges, directed)
+    if min_weight is not None:
+        adj = adj.filter(F.col("w") >= min_weight)
+    adj = adj.cache()
+    try:
+        state = spark.createDataFrame(
+            [(s, 1.0, 0) for s in start], "node_id string, path_weight double, depth int"
+        )
+        frontier = state
+        for d in range(1, max_depth + 1):
+            grown = (
+                frontier.join(adj, frontier["node_id"] == adj["u"])
+                .select(
+                    F.col("v").alias("node_id"),
+                    (F.col("path_weight") * F.col("w")).alias("path_weight"),
+                    F.lit(d).alias("depth"),
+                )
+            )
+            merged = (
+                state.unionByName(grown)
+                .groupBy("node_id")
+                .agg(F.max(F.struct(F.col("path_weight"), (-F.col("depth")).alias("nd"))).alias("s"))
+                .select("node_id", F.col("s.path_weight").alias("path_weight"), (-F.col("s.nd")).cast("int").alias("depth"))
+            )
+            merged = merged.localCheckpoint(eager=True)
+            # early exit when no node improved
+            improved = merged.join(
+                state.select("node_id", F.col("path_weight").alias("old")), "node_id", "left"
+            ).filter(F.col("old").isNull() | (F.col("path_weight") > F.col("old")))
+            if improved.isEmpty():
+                state = merged
+                break
+            state = merged
+            frontier = improved.select("node_id", "path_weight", "depth")
+        return state
+    finally:
+        adj.unpersist()
+
+
+def yen_k_shortest(
+    edges: DataFrame, source: str, target: str, k: int = 3, directed: bool = True, max_depth: int = 25
+) -> list[list[str]]:
+    """Yen's k-shortest loopless paths (G6, paths.rs:201-294): driver-side
+    spur loop over shortest_path_unweighted — the reference also runs this
+    as a sequential algorithm; each inner call is a distributed BFS.
+    Candidates sorted (length asc, path lexicographic) for determinism."""
+    first = shortest_path_unweighted(edges, source, target, max_depth, directed)
+    if first is None:
+        return []
+    paths = [first]
+    candidates: list[list[str]] = []
+    for _ in range(1, k):
+        prev = paths[-1]
+        for i in range(len(prev) - 1):
+            root = prev[: i + 1]
+            spur = prev[i]
+            # remove edges used by known paths sharing this root prefix
+            banned = set()
+            for p in paths:
+                if p[: i + 1] == root and len(p) > i + 1:
+                    banned.add((p[i], p[i + 1]))
+            banned_df = edges.sparkSession.createDataFrame(
+                [(u, v) for u, v in banned] or [("", "")], "bsrc string, bdst string"
+            )
+            pruned = edges.join(
+                banned_df,
+                (edges["src"] == F.col("bsrc")) & (edges["dst"] == F.col("bdst")),
+                "left_anti",
+            )
+            # exclude root nodes (except spur) from the spur path
+            root_nodes = set(root[:-1])
+            if root_nodes:
+                pruned = pruned.filter(
+                    ~F.col("src").isin(list(root_nodes)) & ~F.col("dst").isin(list(root_nodes))
+                )
+            spur_path = shortest_path_unweighted(pruned, spur, target, max_depth, directed)
+            if spur_path:
+                cand = root[:-1] + spur_path
+                if cand not in paths and cand not in candidates:
+                    candidates.append(cand)
+        if not candidates:
+            break
+        candidates.sort(key=lambda p: (len(p), p))
+        paths.append(candidates.pop(0))
+    return paths
+
+
 def dijkstra(
     edges: DataFrame, source: str, target: str | None = None, max_iter: int = 30, directed: bool = True
 ) -> DataFrame:

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from cortex_spark.graph.degree import most_connected
 from cortex_spark.graph.paths import dijkstra, shortest_path_unweighted
 from cortex_spark.graph.traverse import bfs, leaves, neighbors, reachable, roots
@@ -103,3 +105,36 @@ def test_most_connected(spark, nodes_df_factory, edges_df_factory):
     edges = edges_df_factory([make_edge("hub", "x"), make_edge("hub", "y"), make_edge("z", "hub")])
     top = most_connected(nodes, edges, n=1).first()
     assert top["node_id"] == "hub" and top["degree"] == 3
+
+
+def test_weighted_traverse_max_product(spark, edges_df_factory):
+    from cortex_spark.graph.paths import weighted_traverse
+
+    edges = edges_df_factory(
+        [
+            make_edge("a", "b", weight=0.5),
+            make_edge("a", "c", weight=0.9),
+            make_edge("c", "b", weight=0.9),  # a→c→b = 0.81 beats a→b = 0.5
+        ]
+    )
+    got = {r["node_id"]: (round(r["path_weight"], 6), r["depth"]) for r in weighted_traverse(edges, ["a"], max_depth=3, directed=True).collect()}
+    assert got["a"] == (1.0, 0)
+    assert got["b"][0] == pytest.approx(0.81, abs=1e-6)
+    assert got["c"][0] == pytest.approx(0.9, abs=1e-6)
+
+
+def test_yen_k_shortest(spark, edges_df_factory):
+    from cortex_spark.graph.paths import yen_k_shortest
+
+    edges = edges_df_factory(
+        [
+            make_edge("a", "b"), make_edge("b", "z"),
+            make_edge("a", "c"), make_edge("c", "d"), make_edge("d", "z"),
+            make_edge("b", "d"),
+        ]
+    )
+    paths = yen_k_shortest(edges, "a", "z", k=3)
+    assert paths[0] == ["a", "b", "z"]
+    assert len(paths) >= 2
+    assert all(p[0] == "a" and p[-1] == "z" for p in paths)
+    assert len({tuple(p) for p in paths}) == len(paths)  # loopless + distinct
