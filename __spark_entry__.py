@@ -439,6 +439,32 @@ def q_write_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake images derived from the
+    embeddings table (vec_id-seeded payload) → mapInPandas decode →
+    per-channel features. Rows-only check (codec is the test stub)."""
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_and_featurize, encode_fake_image
+
+    ids = [int(r["vec_id"]) for r in _embs(spark, sf_dir).filter("vec_id < 64").collect()]
+    rows = [
+        (f"m{i}", "image", encode_fake_image(8, 8, 3, seed=i), ("image/fake", 8, 8, 3, None))
+        for i in ids
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_and_featurize(media, resize_to=(4, 4))
+    return out.select(
+        "media_id", "width", "height", "channels", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-pairs over documents (rows-only: the
+    64-bit blake2b hashing is not expressible in SQL)."""
+    from cortex_spark.dataops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
 def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.4 briefing report over the KG built from documents (rows-only)."""
     from cortex_spark.briefing import generate_briefing
@@ -495,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_gate": q_write_gate,
         "hybrid_blend": q_hybrid_blend,
         "cc": q_cc,
+        "multimodal_decode": q_multimodal_decode,
+        "simhash": q_simhash,
         "briefing": q_briefing,
         "kg_triples": q_kg_triples,
     }

@@ -99,7 +99,7 @@ def generate_briefing(
     seen = spark.createDataFrame([], "node_id string")
     out = None
     remaining = GLOBAL_CAP
-    for name, sec in sections:
+    for idx, (name, sec) in enumerate(sections):
         if remaining <= 0:
             break
         picked = sec.join(seen, "node_id", "left_anti").limit(remaining)
@@ -109,15 +109,40 @@ def generate_briefing(
             continue
         remaining -= n
         seen = seen.unionByName(picked.select("node_id")).localCheckpoint(eager=True)
-        labeled = picked.withColumn("section", F.lit(name))
+        labeled = picked.withColumn("section", F.lit(name)).withColumn("section_idx", F.lit(idx))
         out = labeled if out is None else out.unionByName(labeled)
     if out is None:
         return spark.createDataFrame(
-            [], "node_id string, kind string, title string, importance float, access_count bigint, section string, section_rank int"
+            [],
+            "node_id string, kind string, title string, importance float, access_count bigint, "
+            "section string, section_idx int, section_rank int",
         )
     from pyspark.sql import Window
 
     w = Window.partitionBy("section").orderBy(F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
     return out.withColumn("section_rank", F.row_number().over(w)).select(
-        "section", "section_rank", "node_id", "kind", "title", "importance"
+        "section", "section_idx", "section_rank", "node_id", "kind", "title", "importance"
     )
+
+
+def render_briefing_markdown(report, max_title_chars: int = 120) -> str:
+    """Markdown render of a generate_briefing() frame
+    (reference briefing/renderer.rs:70-110): one '##' per section in
+    section order, ranked bullet list, char-safe truncation."""
+    from cortex_spark.functions.text import pluralize_section, truncate_annotated
+
+    order_cols = ["section_idx", "section_rank"] if "section_idx" in report.columns else ["section", "section_rank"]
+    rows = report.orderBy(*order_cols).collect()
+    out: list[str] = ["# Briefing"]
+    current = None
+    for r in rows:
+        if r["section"] != current:
+            current = r["section"]
+            if current.startswith("more_"):
+                # auto-discovered sections are named by pluralised kind (A6)
+                out.append(f"\n## {pluralize_section(current[5:])}")
+            else:
+                out.append(f"\n## {current.replace('_', ' ').title()}")
+        title = truncate_annotated(r["title"] or "", max_title_chars)
+        out.append(f"{r['section_rank']}. [{r['kind']}] {title} (importance {r['importance']:.2f})")
+    return "\n".join(out)

@@ -97,3 +97,33 @@ def fingerprint_col(text: Column) -> Column:
     """Order-stable 64-bit fingerprint of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def truncate_annotated(s: str, max_chars: int) -> str:
+    """Char-safe truncate appending " [truncated]" when there is room
+    (reference briefing/renderer.rs:27-53; char-based, unlike the byte-based
+    title slice in ingest.rs:107-111 — SURVEY §2.10 keeps both straight)."""
+    if len(s) <= max_chars:
+        return s
+    suffix = " [truncated]"
+    if max_chars > len(suffix) + 2:  # reference uses literal 14 == len + 2
+        return s[: max_chars - 14] + suffix
+    return s[:max_chars]
+
+
+def body_preview(s: str, max_chars: int) -> str:
+    """Preview with "..." (renderer.rs:56-68)."""
+    if len(s) <= max_chars:
+        return s
+    return s[: max(max_chars - 3, 0)] + "..."
+
+
+def pluralize_section(kind: str) -> str:
+    """Section naming: Title Case + naive pluralisation
+    (briefing/engine.rs:27-62)."""
+    title = kind.replace("-", " ").replace("_", " ").title()
+    if title.endswith(("s", "x", "ch", "sh")):
+        return title + "es"
+    if title.endswith("y") and len(title) > 1 and title[-2].lower() not in "aeiou":
+        return title[:-1] + "ies"
+    return title + "s"

@@ -133,3 +133,13 @@ def leaves(nodes: DataFrame, edges: DataFrame, relation: str | None = None) -> D
 def neighborhood_at(edges: DataFrame, start: list[str], at: datetime, max_depth: int = 3) -> DataFrame:
     """Time-travel BFS including only edges created ≤ t (temporal.rs:55-123)."""
     return bfs(edges, start, max_depth=max_depth, as_of=at)
+
+
+def merge_subgraphs(*subgraphs: DataFrame) -> DataFrame:
+    """U1 subgraph merge (graph/subgraph.rs:117-144): node union with
+    depth = min across inputs. Edge dedup happens on the edge frames the
+    caller filters with these node sets."""
+    out = subgraphs[0]
+    for s in subgraphs[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("node_id").agg(F.min("depth").alias("depth"))
