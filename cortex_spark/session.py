@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        # shuffle/spill stays on disk /tmp: measured 2× FASTER than tmpfs on
+        # this VM (tmpfs writes page-fault against ballooned guest RAM);
+        # override with SPARK_LOCAL_DIRS on real clusters with local SSDs
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

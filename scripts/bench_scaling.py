@@ -15,36 +15,57 @@ import sys
 import time
 
 
-def one_run(cpus: int, n_pages: int) -> dict:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from cortex_spark.corpus import synth_pages
-    from cortex_spark.extract.pipeline import pages_to_nodes
-    from cortex_spark.linker.pipeline import link_nodes
-    from cortex_spark.session import get_spark
+_CHILD_SNIPPET = """
+import json, sys, time
+sys.path.insert(0, {root!r})
+from cortex_spark.corpus import synth_pages
+from cortex_spark.extract.pipeline import pages_to_nodes
+from cortex_spark.linker.pipeline import link_nodes
+from cortex_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2)
-    nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
-    n_nodes = nodes.count()
-    edges = link_nodes(nodes, use_lsh=True).localCheckpoint()
-    n_edges = edges.count()
-    secs = time.time() - t0
-    spark.stop()
-    return {
-        "cpus": cpus,
-        "secs": round(secs, 2),
-        "nodes": n_nodes,
-        "triples": n_edges,
-        "triples_per_sec": round(n_edges / secs, 1),
-    }
+cpus, n_pages = {cpus}, {n_pages}
+spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2)
+nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
+n_nodes = nodes.count()
+edges = link_nodes(nodes, use_lsh=True).localCheckpoint()
+n_edges = edges.count()
+secs = time.time() - t0
+print(json.dumps({{"cpus": cpus, "secs": round(secs, 2), "nodes": n_nodes,
+                   "triples": n_edges, "triples_per_sec": round(n_edges / secs, 1)}}))
+"""
+
+
+def one_run(cpus: int, n_pages: int) -> dict:
+    """Each parallelism level runs in a FRESH subprocess — a second
+    SparkContext in the same JVM inherits degraded state (observed 2-3×
+    slowdowns for whichever level runs second, regardless of order)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _CHILD_SNIPPET.format(root=root, cpus=cpus, n_pages=n_pages)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def main() -> None:
+    """ABBA protocol with per-config MIN: this sandbox VM degrades 1.7-2×
+    between consecutive Spark runs regardless of parallelism or process
+    isolation (host ballooning/IO credits — raw 32-proc CPU burn shows no
+    decay), so single-pass A-then-B comparisons are meaningless. Min-of-two
+    per config samples each at its best available hardware."""
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    low = one_run(8, n_pages)
-    high = one_run(32, n_pages)
+    runs = {8: [], 32: []}
+    for cpus in (32, 8, 8, 32):  # ABBA
+        runs[cpus].append(one_run(cpus, n_pages))
+        time.sleep(20)
+    low = min(runs[8], key=lambda r: r["secs"])
+    high = min(runs[32], key=lambda r: r["secs"])
     eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (32 / 8)
     print(
         json.dumps(
@@ -52,6 +73,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "low": low,
                 "high": high,
+                "all_secs": {str(k): [r["secs"] for r in v] for k, v in runs.items()},
                 "scaling_efficiency": round(eff, 3),
             }
         )
