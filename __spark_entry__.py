@@ -338,27 +338,16 @@ def q_hybrid_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G12 connected components over the exact-dup graph of documents
-    (docs sharing a normalized-text hash are linked; components = dup
-    clusters). Oracle: DuckDB min-hash-group representative — identical
-    semantics because each dup group is a clique."""
+    """G12 connected components (large-star/small-star) over the TPC-H
+    hierarchy graph — 5 region-rooted components of thousands of nodes each
+    (the round-1 dup-graph variant was vacuous: the fixtures contain zero
+    duplicate texts, so both sides returned 0 rows). Oracle: component =
+    lexicographic-min node id within the region subtree, reproduced
+    relationally in DuckDB."""
     from cortex_spark.canon.components import connected_components
-    from cortex_spark.dataops.dedup import normalized_text_col
 
-    d = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("node_id"), F.md5(normalized_text_col(F.col("text"))).alias("h")
-    )
-    pairs = (
-        d.alias("a")
-        .join(d.alias("b"), "h")
-        .filter(F.col("a.node_id").cast("bigint") < F.col("b.node_id").cast("bigint"))
-        .select(F.col("a.node_id").alias("src"), F.col("b.node_id").alias("dst"))
-    )
-    comp = connected_components(pairs)
-    return comp.select(
-        F.col("node_id").cast("bigint").alias("doc_id"),
-        F.col("component").cast("bigint").alias("component"),
-    )
+    edges = _tpch_graph(spark, sf_dir)
+    return connected_components(edges).select("node_id", "component")
 
 
 def _tpch_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +373,196 @@ def _tpch_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("created_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))).withColumn(
         "updated_at", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
     ).withColumn("edge_id", F.concat_ws("-", "src", "dst"))
+
+
+def _tpch_graph_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H DAG with deterministic DOUBLE edge weights (w = 0.5 + key%10/25)
+    — double, not float32, so the DuckDB oracle's arithmetic matches bit-wise."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = lambda key: (F.lit(0.5) + (key % 10).cast("double") / F.lit(25.0))  # noqa: E731
+    e1 = nation.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("dst"),
+        w(F.col("n_nationkey")).alias("weight"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("dst"),
+        w(F.col("c_custkey")).alias("weight"),
+    )
+    e3 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+        w(F.col("o_orderkey")).alias("weight"),
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def q_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 Kahn topo layers over the TPC-H DAG (subgraph.rs:72-114): the
+    iterative zero-in-degree peeling must assign layer = hierarchy level."""
+    from cortex_spark.graph.subgraph import topo_layers
+
+    edges = _tpch_graph(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    layers, _cyclic = topo_layers(nodes, edges)
+    return layers.select("node_id", F.col("layer").cast("int").alias("layer"))
+
+
+def q_dijkstra_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 Dijkstra from r0 over the weighted TPC-H DAG: cost = Σ(1−w),
+    path_weight = Πw (paths.rs:113-198, product :345-355). The tree has
+    unique paths, so the oracle computes both closed-form per level."""
+    from cortex_spark.graph.paths import dijkstra
+
+    edges = _tpch_graph_weighted(spark, sf_dir)
+    out = dijkstra(edges, "r0", directed=True)
+    return out.select(
+        "node_id",
+        F.round("cost", 6).alias("cost"),
+        F.round("path_weight", 6).alias("path_weight"),
+    )
+
+
+def q_score_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 query-time score decay (scoring.rs:84-114) through the real
+    score_decay_col: temporal per-kind rate + access echo + recency blend
+    over documents-derived nodes with deterministic idle times."""
+    from cortex_spark.extract.classify import classify_col
+    from cortex_spark.functions.scoring import score_decay_col
+    from cortex_spark.functions.text import quality_score_col
+
+    now = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        classify_col(F.col("text")).alias("kind"),
+        quality_score_col(F.col("text")).alias("raw"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 500).cast("int"))
+        ).alias("last_accessed_at"),
+        (F.col("doc_id") % 50).alias("access_count"),
+    )
+    final = score_decay_col(
+        F.col("raw"), F.col("kind"), F.col("last_accessed_at"), F.col("access_count"), now
+    )
+    return d.select("doc_id", "kind", F.round(final, 6).alias("final_score"))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 retention sweep eligibility (retention.rs:120-166) through the real
+    retention_sweep: ttl + grace + live-inbound-edge protection over
+    documents-derived nodes (doc k protects doc k+1 of the same source)."""
+    from cortex_spark.decay import retention_sweep
+
+    d = _docs(spark, sf_dir)
+    nodes = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.lit("fact").alias("kind"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 900).cast("int"))
+        ).alias("created_at"),
+        (
+            F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 600).cast("int"))
+        ).alias("last_accessed_at"),
+        F.lit(False).alias("deleted"),
+    )
+    a = d.select("doc_id", "source")
+    b = d.select(F.col("doc_id").alias("doc_id2"), F.col("source").alias("source2"))
+    edges = (
+        a.join(b, (F.col("doc_id2") == F.col("doc_id") + 1) & (F.col("source2") == F.col("source")))
+        .select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("d"), F.col("doc_id2").cast("string")).alias("dst"),
+        )
+    )
+    from datetime import datetime as _dt
+
+    eligible = retention_sweep(
+        nodes, edges, now=_dt(2026, 6, 1), default_ttl_days=365, grace_days=30
+    )
+    return eligible.select("node_id")
+
+
+def q_merge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 node-merge semantics (dedup.rs:296-318) through the real
+    merge_node_attrs: tags = order-preserving union, metadata keep-wins,
+    importance max, retired rows tombstoned. Pairs: doc 2k absorbs 2k+1."""
+    from cortex_spark.canon.merge import merge_node_attrs
+    from cortex_spark.functions.text import quality_score_col
+
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: (t != "") & (F.length(t) >= 7)
+    )
+    nodes = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("tags"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.concat(F.lit("p"), (F.col("doc_id") % 2).cast("string"))),
+            F.array(F.col("lang"), F.col("source")),
+        ).alias("metadata"),
+        quality_score_col(F.col("text")).alias("importance"),
+        F.lit(False).alias("deleted"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("updated_at"),
+    )
+    a = d.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    b = d.select(F.col("doc_id").alias("doc_id2"))
+    cmap = a.join(b, F.col("doc_id2") == F.col("doc_id") + 1).select(
+        F.concat(F.lit("d"), F.col("doc_id2").cast("string")).alias("node_id"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("canonical"),
+    )
+    merged = merge_node_attrs(nodes, cmap, RUN_TS)
+    meta_str = F.array_join(
+        F.array_sort(F.transform(F.map_entries(F.col("metadata")), lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+        " ",
+    )
+    return merged.select(
+        "node_id",
+        F.array_join("tags", " ").alias("tags_str"),
+        meta_str.alias("meta_str"),
+        F.round(F.col("importance").cast("double"), 6).alias("importance"),
+        "deleted",
+    )
+
+
+def q_briefing_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/U2 briefing ranking through the real generate_briefing: section
+    ranking (importance desc, access desc), Σ-importance section order,
+    ordered seen-set exclusion, global cap — over documents-derived nodes
+    whose kinds are all non-default ('lang…'), so exactly the active_context
+    + auto-discovered sections fire and every step is SQL-reproducible."""
+    from cortex_spark.briefing import generate_briefing
+    from cortex_spark.functions.text import quality_score_col
+
+    d = _docs(spark, sf_dir)
+    nodes = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.concat(F.lit("lang"), F.col("lang")).alias("kind"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("body"),
+        quality_score_col(F.col("text")).alias("importance"),
+        (F.col("doc_id") % 7).alias("access_count"),
+        F.lit("oracle").alias("source_agent"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("created_at"),
+        F.lit(False).alias("deleted"),
+    )
+    edges = spark.createDataFrame([], "src string, dst string, relation string")
+    rep = generate_briefing(nodes, edges, "oracle", now=RUN_TS.replace(tzinfo=None))
+    return rep.select(
+        "section", "section_rank", "node_id", F.round(F.col("importance").cast("double"), 6).alias("importance")
+    )
 
 
 def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_gate": q_write_gate,
         "hybrid_blend": q_hybrid_blend,
         "cc": q_cc,
+        "topo_layers": q_topo_layers,
+        "dijkstra_costs": q_dijkstra_costs,
+        "score_decay": q_score_decay,
+        "retention": q_retention,
+        "merge_semantics": q_merge_semantics,
+        "briefing_rank": q_briefing_rank,
         "multimodal_decode": q_multimodal_decode,
         "simhash": q_simhash,
         "briefing": q_briefing,
@@ -713,9 +898,100 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings ORDER BY combined DESC, vec_id ASC LIMIT 50"
         ),
         "cc": (
-            "WITH h AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h FROM documents), "
-            "g AS (SELECT h, min(doc_id) AS rep, count(*) AS n FROM h GROUP BY h) "
-            "SELECT doc_id, rep AS component FROM h JOIN g USING (h) WHERE n > 1"
+            "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+            "nodes AS ("
+            "SELECT 'r' || n_regionkey AS node_id, n_regionkey AS rk FROM (SELECT DISTINCT n_regionkey FROM nation) "
+            "UNION ALL SELECT 'n' || n_nationkey, n_regionkey FROM nation "
+            "UNION ALL SELECT 'c' || c_custkey, n_regionkey FROM cust "
+            "UNION ALL SELECT 'o' || o_orderkey, cust.n_regionkey FROM orders JOIN cust ON o_custkey = c_custkey), "
+            "m AS (SELECT rk, min(node_id) AS component FROM nodes GROUP BY rk) "
+            "SELECT node_id, component FROM nodes JOIN m USING (rk)"
+        ),
+        "topo_layers": (
+            "WITH e AS (SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst FROM nation "
+            "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer "
+            "UNION ALL SELECT 'c' || o_custkey, 'o' || o_orderkey FROM orders), "
+            "nodes AS (SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)) "
+            "SELECT node_id, CAST(CASE substr(node_id, 1, 1) WHEN 'r' THEN 0 WHEN 'n' THEN 1 "
+            "WHEN 'c' THEN 2 ELSE 3 END AS INTEGER) AS layer FROM nodes"
+        ),
+        "dijkstra_costs": (
+            # unique tree paths ⇒ closed-form per level; weights replicated
+            "WITH n0 AS (SELECT n_nationkey, 0.5 + (n_nationkey % 10) / 25.0 AS w1 FROM nation WHERE n_regionkey = 0), "
+            "c0 AS (SELECT c_custkey, w1, 0.5 + (c_custkey % 10) / 25.0 AS w2 FROM customer JOIN n0 ON c_nationkey = n_nationkey), "
+            "o0 AS (SELECT o_orderkey, w1, w2, 0.5 + (o_orderkey % 10) / 25.0 AS w3 FROM orders JOIN c0 ON o_custkey = c_custkey) "
+            "SELECT 'r0' AS node_id, 0.0 AS cost, 1.0 AS path_weight "
+            "UNION ALL SELECT 'n' || n_nationkey, round(1 - w1, 6), round(w1, 6) FROM n0 "
+            "UNION ALL SELECT 'c' || c_custkey, round((1 - w1) + (1 - w2), 6), round(w1 * w2, 6) FROM c0 "
+            "UNION ALL SELECT 'o' || o_orderkey, round((1 - w1) + (1 - w2) + (1 - w3), 6), round(w1 * w2 * w3, 6) FROM o0"
+        ),
+        "score_decay": (
+            f"WITH d AS (SELECT doc_id, {_CLASSIFY_SQL_CASE} AS kind, ({_QUALITY_SQL}) AS raw, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 500 AS INT)) AS last_accessed_at, "
+            "doc_id % 50 AS access_count FROM documents), "
+            "f AS (SELECT doc_id, kind, raw, "
+            "least((epoch(TIMESTAMP '2026-01-01 00:00:00') - epoch(last_accessed_at)) / 86400.0, 365.0) AS eff_days, "
+            "least(1.0 + access_count * 0.05, 2.0) AS echo, "
+            "CASE kind WHEN 'event' THEN 0.05 WHEN 'observation' THEN 0.04 WHEN 'decision' THEN 0.005 "
+            "WHEN 'pattern' THEN 0.005 WHEN 'fact' THEN 0.01 WHEN 'preference' THEN 0.005 ELSE 0.02 END AS rate "
+            "FROM d) "
+            "SELECT doc_id, kind, round(raw * 0.85 + raw * greatest(exp(-rate * eff_days), 0.1) * echo * 0.15, 6) "
+            "AS final_score FROM f"
+        ),
+        "retention": (
+            "WITH n AS (SELECT doc_id, 'd' || doc_id AS node_id, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 900 AS INT)) AS created_at, "
+            "TIMESTAMP '2024-06-01 00:00:00' + to_days(CAST(doc_id % 600 AS INT)) AS last_accessed_at "
+            "FROM documents), "
+            "prot AS (SELECT DISTINCT 'd' || b.doc_id AS node_id FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1 AND b.source = a.source) "
+            "SELECT node_id FROM n "
+            "WHERE (epoch(TIMESTAMP '2026-06-01 00:00:00') - epoch(created_at)) / 86400.0 > 365 "
+            "AND (epoch(TIMESTAMP '2026-06-01 00:00:00') - epoch(greatest(last_accessed_at, created_at))) / 86400.0 > 30 "
+            "AND node_id NOT IN (SELECT node_id FROM prot)"
+        ),
+        "merge_semantics": (
+            f"WITH base AS (SELECT doc_id, lang, source, ({_QUALITY_SQL}) AS importance, "
+            "list_slice(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+            "t -> t <> '' AND length(t) >= 7))), 1, 5) AS tags FROM documents), "
+            "pairs AS (SELECT a.doc_id AS keep_id, b.doc_id AS ret_id FROM documents a "
+            "JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 2 = 0) "
+            "SELECT 'd' || k.doc_id AS node_id, "
+            # array_to_string([]) is NULL in DuckDB but '' in Spark → coalesce
+            "coalesce(array_to_string(k.tags || list_filter(r.tags, t -> NOT list_contains(k.tags, t)), ' '), '') AS tags_str, "
+            "'lang=' || k.lang || ' p0=' || k.source || ' p1=' || r.source AS meta_str, "
+            "round(CAST(CAST(greatest(k.importance, r.importance) AS FLOAT) AS DOUBLE), 6) AS importance, "
+            "false AS deleted "
+            "FROM pairs p JOIN base k ON k.doc_id = p.keep_id JOIN base r ON r.doc_id = p.ret_id "
+            "UNION ALL "
+            "SELECT 'd' || b.doc_id, coalesce(array_to_string(b.tags, ' '), ''), "
+            "array_to_string(list_sort(['lang=' || b.lang, 'p' || (b.doc_id % 2) || '=' || b.source]), ' '), "
+            "round(CAST(CAST(b.importance AS FLOAT) AS DOUBLE), 6), "
+            "(b.doc_id IN (SELECT ret_id FROM pairs)) AS deleted "
+            "FROM base b WHERE b.doc_id NOT IN (SELECT keep_id FROM pairs)"
+        ),
+        "briefing_rank": (
+            f"WITH n AS (SELECT doc_id, 'd' || doc_id AS node_id, 'lang' || lang AS kind, "
+            f"({_QUALITY_SQL}) AS importance, doc_id % 7 AS access_count FROM documents), "
+            # active_context: 10 newest (created = base + doc_id min ⇒ doc_id desc)
+            "ac AS (SELECT node_id, kind, importance, access_count FROM n "
+            "WHERE importance >= 0.3 ORDER BY doc_id DESC LIMIT 10), "
+            # auto-discovered sections ordered by Σ importance over all live nodes
+            "sums AS (SELECT kind, sum(importance) AS tot FROM n GROUP BY kind), "
+            "sorder AS (SELECT kind, row_number() OVER (ORDER BY tot DESC, kind ASC) AS s_ord FROM sums), "
+            "ranked AS (SELECT node_id, kind, importance, access_count, "
+            "row_number() OVER (PARTITION BY kind ORDER BY importance DESC, access_count DESC, node_id ASC) AS rnk "
+            "FROM n WHERE importance >= 0.3), "
+            "cand AS (SELECT r.*, s.s_ord FROM ranked r JOIN sorder s USING (kind) "
+            "WHERE rnk <= 10 AND node_id NOT IN (SELECT node_id FROM ac)), "
+            "cut AS (SELECT *, row_number() OVER (ORDER BY s_ord ASC, importance DESC, access_count DESC, node_id ASC) "
+            "AS gpos FROM cand), "
+            "picked AS (SELECT * FROM cut WHERE gpos <= 50 - (SELECT count(*) FROM ac)), "
+            "final AS (SELECT 'active_context' AS section, node_id, importance, access_count FROM ac "
+            "UNION ALL SELECT 'more_' || kind, node_id, importance, access_count FROM picked) "
+            "SELECT section, CAST(row_number() OVER (PARTITION BY section "
+            "ORDER BY importance DESC, access_count DESC, node_id ASC) AS INTEGER) AS section_rank, "
+            "node_id, round(importance, 6) AS importance FROM final"
         ),
         # ann_lsh / briefing / kg_triples: non-SQL-expressible (stochastic
         # bucketing / full KG pipeline) → rows-only checks.

@@ -24,7 +24,7 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
     from cortex_spark.corpus import synth_pages
-    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.extract.fused import pages_to_nodes_fused
     from cortex_spark.linker.pipeline import link_nodes
     from cortex_spark.canon.dedup import dedup_actions, dedup_pairs
     from cortex_spark.canon.merge import canonicalize
@@ -63,12 +63,12 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
 
     t0 = time.time()
     pages = synth_pages(spark, n_pages, seed=42)
-    nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
+    nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
     n_nodes = nodes.count()
     t_extract = time.time() - t0
 
     t1 = time.time()
-    cands = ann_candidates(nodes).localCheckpoint()
+    cands = ann_candidates(nodes, lsh_kwargs={"dim": 64, "n_rows": n_nodes}).localCheckpoint()
     edges = link_nodes(nodes, candidates=cands).localCheckpoint()
     n_edges = edges.count()
     t_link = time.time() - t1

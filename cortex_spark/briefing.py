@@ -27,10 +27,13 @@ GLOBAL_CAP = 50
 RECENT_HOURS = 48
 
 
+RANK_ORDER = (F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
+
+
 def _rank(df: DataFrame, limit: int = PER_SECTION) -> DataFrame:
     return (
         df.filter(F.col("importance") >= MIN_IMPORTANCE)
-        .orderBy(F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
+        .orderBy(*RANK_ORDER)
         .limit(limit)
     )
 
@@ -44,7 +47,8 @@ def generate_briefing(
     """Returns (section, section_rank, node_id, kind, title, importance)."""
     spark = nodes.sparkSession
     live = nodes.filter(~F.col("deleted"))
-    base_cols = ["node_id", "kind", "title", "importance", "access_count"]
+    # created_at rides along so the active_context allocation cut can re-sort
+    base_cols = ["node_id", "kind", "title", "body", "importance", "access_count", "created_at"]
 
     sections: list[tuple[str, DataFrame]] = []
     agent_nodes = live.filter(F.col("source_agent") == agent)
@@ -102,7 +106,10 @@ def generate_briefing(
     for idx, (name, sec) in enumerate(sections):
         if remaining <= 0:
             break
-        picked = sec.join(seen, "node_id", "left_anti").limit(remaining)
+        # the global-cap cut is taken in the section's own rank order —
+        # a bare limit() after the anti-join would be non-deterministic
+        order = (F.desc("created_at"), F.asc("node_id")) if name == "active_context" else RANK_ORDER
+        picked = sec.join(seen, "node_id", "left_anti").orderBy(*order).limit(remaining)
         picked = picked.localCheckpoint(eager=True)
         n = picked.count()
         if n == 0:
@@ -114,35 +121,63 @@ def generate_briefing(
     if out is None:
         return spark.createDataFrame(
             [],
-            "node_id string, kind string, title string, importance float, access_count bigint, "
-            "section string, section_idx int, section_rank int",
+            "node_id string, kind string, title string, body string, importance float, "
+            "access_count bigint, section string, section_idx int, section_rank int",
         )
     from pyspark.sql import Window
 
     w = Window.partitionBy("section").orderBy(F.desc("importance"), F.desc("access_count"), F.asc("node_id"))
     return out.withColumn("section_rank", F.row_number().over(w)).select(
-        "section", "section_idx", "section_rank", "node_id", "kind", "title", "importance"
+        "section", "section_idx", "section_rank", "node_id", "kind", "title", "body", "importance"
     )
 
 
-def render_briefing_markdown(report, max_title_chars: int = 120) -> str:
-    """Markdown render of a generate_briefing() frame
-    (reference briefing/renderer.rs:70-110): one '##' per section in
-    section order, ranked bullet list, char-safe truncation."""
-    from cortex_spark.functions.text import pluralize_section, truncate_annotated
+def _section_title(section: str) -> str:
+    from cortex_spark.functions.text import pluralize_section
 
+    if section.startswith("more_"):
+        # auto-discovered sections are named by pluralised kind (A6)
+        return pluralize_section(section[5:])
+    return section.replace("_", " ").title()
+
+
+def _collect_sections(report) -> list[tuple[str, list]]:
     order_cols = ["section_idx", "section_rank"] if "section_idx" in report.columns else ["section", "section_rank"]
     rows = report.orderBy(*order_cols).collect()
-    out: list[str] = ["# Briefing"]
-    current = None
+    sections: list[tuple[str, list]] = []
     for r in rows:
-        if r["section"] != current:
-            current = r["section"]
-            if current.startswith("more_"):
-                # auto-discovered sections are named by pluralised kind (A6)
-                out.append(f"\n## {pluralize_section(current[5:])}")
-            else:
-                out.append(f"\n## {current.replace('_', ' ').title()}")
-        title = truncate_annotated(r["title"] or "", max_title_chars)
-        out.append(f"{r['section_rank']}. [{r['kind']}] {title} (importance {r['importance']:.2f})")
-    return "\n".join(out)
+        if not sections or sections[-1][0] != r["section"]:
+            sections.append((r["section"], []))
+        sections[-1][1].append(r)
+    return sections
+
+
+def render_briefing_markdown(report, agent: str = "", max_chars: int = 8000) -> str:
+    """Markdown render of a generate_briefing() frame, format-faithful to
+    MarkdownRenderer (briefing/renderer.rs:70-101): header with agent +
+    generated stamp, '## Section' blocks, '- **title**: body-preview(200)'
+    bullets, whole output char-truncated with ' [truncated]'."""
+    from cortex_spark.functions.text import body_preview, truncate_annotated
+
+    out: list[str] = [f"# Briefing: {agent}\n_Generated: run_\n\n"]
+    for section, rows in _collect_sections(report):
+        out.append(f"## {_section_title(section)}\n\n")
+        for r in rows:
+            preview = body_preview(r["body"] or "", 200) if "body" in report.columns else ""
+            out.append(f"- **{r['title']}**: {preview}\n")
+        out.append("\n")
+    return truncate_annotated("".join(out), max_chars)
+
+
+def render_briefing_compact(report, agent: str = "", max_chars: int = 8000) -> str:
+    """Compact render (CompactRenderer, renderer.rs:79-86,103-110): titles
+    only — '# agent' header, '## Section' + '- title' lines, same global
+    char truncation."""
+    from cortex_spark.functions.text import truncate_annotated
+
+    out: list[str] = [f"# {agent}\n"]
+    for section, rows in _collect_sections(report):
+        out.append(f"## {_section_title(section)}\n")
+        for r in rows:
+            out.append(f"- {r['title']}\n")
+    return truncate_annotated("".join(out), max_chars)

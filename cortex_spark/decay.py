@@ -102,9 +102,17 @@ def retention_sweep(
     default_ttl_days: int | None = None,
     grace_days: int = 30,
     protect_linked: bool = True,
+    min_score_by_kind: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Delete-eligible node ids (policies/retention.rs:17-166): age > ttl AND
-    days_since_access > grace AND (not protected OR no live inbound edges)."""
+    """Delete-eligible node ids (policies/retention.rs:120-166): age > ttl AND
+    (min_score unset OR decayed relevance < min_score) AND days_since_access
+    > grace AND (not protected OR no live inbound edges).
+
+    The min_score gate uses apply_score_decay with raw=1.0 and full recency
+    bias — i.e. the pure temporal·echo relevance factor (retention.rs:137-144).
+    """
+    from cortex_spark.functions.scoring import score_decay_col
+
     now_lit = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
     age_days = (now_lit.cast("double") - F.col("created_at").cast("double")) / 86400.0
     idle_days = (now_lit.cast("double") - F.greatest(F.col("last_accessed_at"), F.col("created_at")).cast("double")) / 86400.0
@@ -115,8 +123,92 @@ def retention_sweep(
     ttl = (ttl.otherwise(F.lit(default_ttl_days)) if ttl is not None else F.lit(default_ttl_days)).cast("double")
 
     cand = nodes.filter(~F.col("deleted")).filter(ttl.isNotNull() & (age_days > ttl) & (idle_days > grace_days))
+    if min_score_by_kind:
+        relevance = score_decay_col(
+            F.lit(1.0), F.col("kind"), F.col("last_accessed_at"), F.col("access_count"),
+            now_lit, recency_bias=1.0,
+        )
+        ms = None
+        for k, s in min_score_by_kind.items():
+            ms = F.when(F.col("kind") == k, F.lit(s)) if ms is None else ms.when(F.col("kind") == k, F.lit(s))
+        ms = ms.otherwise(F.lit(None).cast("double"))
+        cand = cand.filter(ms.isNull() | (relevance < ms))
     if protect_linked:
         live = nodes.filter(~F.col("deleted")).select(F.col("node_id").alias("src"))
         live_inbound = edges.join(live, "src").select(F.col("dst").alias("node_id")).distinct()
         cand = cand.join(live_inbound, "node_id", "left_anti")
     return cand.select("node_id")
+
+
+def eviction_candidates(
+    nodes: DataFrame,
+    limit: int,
+    strategy: str = "oldest_lowest_importance",
+    live_count: int | None = None,
+) -> DataFrame:
+    """Max-node-cap eviction (retention.rs:231-288, wiring :288-295): when the
+    live node count exceeds `limit`, return the `count - limit` ids to evict.
+    Eviction is IMMEDIATE — not gated on grace/protection (retention.rs:231).
+
+    Strategy 'oldest_lowest_importance': sort (importance asc, created_at
+    asc), take the excess. The reference's sort is not further tie-broken
+    (Vec::sort is stable over scan order, which is not reproducible
+    distributed) — node_id asc is added as the deterministic tie-break.
+    """
+    if strategy != "oldest_lowest_importance":
+        raise ValueError(f"Unknown eviction strategy: {strategy}")  # retention.rs:283-286
+    live = nodes.filter(~F.col("deleted"))
+    n = live_count if live_count is not None else live.count()
+    excess = n - limit
+    if excess <= 0:
+        return nodes.sparkSession.createDataFrame([], "node_id string")
+    return (
+        live.orderBy(F.asc("importance"), F.asc("created_at"), F.asc("node_id"))
+        .limit(excess)
+        .select("node_id")
+    )
+
+
+def purge_expired(nodes: DataFrame, now: datetime, grace_days: int = 30) -> DataFrame:
+    """Hard-delete candidates (retention.rs:249-272): soft-deleted nodes whose
+    updated_at predates now − grace (grace 0 falls back to 30). Returns the
+    ids to drop; callers anti-join the node table against it."""
+    grace = grace_days if grace_days > 0 else 30
+    now_lit = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    cutoff = now_lit.cast("double") - F.lit(grace * 86400.0)
+    return (
+        nodes.filter(F.col("deleted"))
+        .filter(F.col("updated_at").cast("double") < cutoff)
+        .select("node_id")
+    )
+
+
+def apply_retention(
+    nodes: DataFrame,
+    edges: DataFrame,
+    now: datetime,
+    max_nodes: int | None = None,
+    eviction_strategy: str = "oldest_lowest_importance",
+    **sweep_kwargs,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full retention pass (retention.rs sweep :178-248): TTL sweep, then
+    max-node eviction over the survivors. Returns (nodes', edges', deleted_ids).
+
+    Outbound edges of deleted nodes are dropped (cleanup_outbound_edges,
+    retention.rs:168-176); deletion is a soft tombstone like the reference's.
+    """
+    doomed = retention_sweep(nodes, edges, now, **sweep_kwargs)
+    if max_nodes is not None:
+        after = nodes.filter(~F.col("deleted")).join(doomed, "node_id", "left_anti")
+        evicted = eviction_candidates(after, max_nodes, eviction_strategy)
+        doomed = doomed.unionByName(evicted).distinct()
+    doomed = doomed.localCheckpoint(eager=True)
+    now_lit = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    nodes2 = (
+        nodes.join(doomed.withColumnRenamed("node_id", "d_id"), nodes["node_id"] == F.col("d_id"), "left")
+        .withColumn("deleted", F.when(F.col("d_id").isNotNull(), F.lit(True)).otherwise(F.col("deleted")))
+        .withColumn("updated_at", F.when(F.col("d_id").isNotNull(), now_lit).otherwise(F.col("updated_at")))
+        .drop("d_id")
+    )
+    edges2 = edges.join(doomed.withColumnRenamed("node_id", "src"), "src", "left_anti")
+    return nodes2, edges2, doomed

@@ -155,18 +155,32 @@ def schema_reason(kind: Column, metadata: Column, schemas: dict[str, KindSchema]
     return reason
 
 
+# brute force crossJoin(broadcast(incoming)) is fine while the incoming
+# batch broadcasts; above this row count the gate switches to the LSH
+# probe so the check stays sub-quadratic at ingest scale
+LSH_ABOVE_INCOMING = 10_000
+
+
 def conflict_verdicts(
     incoming: DataFrame,
     existing: DataFrame,
     conflict_threshold: float = CONFLICT_THRESHOLD,
     duplicate_threshold: float = DUPLICATE_THRESHOLD,
     ann_k: int = 5,
+    use_lsh: bool | None = None,
 ) -> DataFrame:
     """(node_id, gate_reason, existing_node) for incoming nodes rejected by
     the conflict check against the existing table (gate/mod.rs:318-388):
     top-5 neighbors; cosine > duplicate_threshold → reject; > conflict and
-    same kind → reject (same agent ⇒ 'duplicate', else 'contradiction')."""
-    from cortex_spark.dataops.ann import ann_topk_bruteforce
+    same kind → reject (same agent ⇒ 'duplicate', else 'contradiction').
+
+    Path selection: use_lsh None (auto) routes large incoming batches through
+    the LSH-bucketed ANN (scale path — both sides bucketed, probed buckets ≪
+    corpus) and keeps exact brute force for broadcastable batches. LSH recall
+    at the 0.85/0.92 thresholds is pytest-asserted ≥ 0.95 — pairs that hot
+    are near-parallel vectors, which collide in some band with high
+    probability."""
+    from cortex_spark.dataops.ann import ann_topk_bruteforce, ann_topk_lsh
 
     inc = incoming.select(
         F.col("node_id").alias("in_id"), F.col("embedding"), F.col("kind").alias("in_kind"),
@@ -178,7 +192,10 @@ def conflict_verdicts(
     )
     if ex.isEmpty():
         return incoming.sparkSession.createDataFrame([], "node_id string, gate_reason string, existing_node string")
-    top = ann_topk_bruteforce(
+    if use_lsh is None:
+        use_lsh = inc.limit(LSH_ABOVE_INCOMING + 1).count() > LSH_ABOVE_INCOMING
+    ann = ann_topk_lsh if use_lsh else ann_topk_bruteforce
+    top = ann(
         ex.withColumnRenamed("ex_id", "vec_id"),
         inc.withColumnRenamed("in_id", "vec_id"),
         k=ann_k,

@@ -57,19 +57,21 @@ def band_sig_udf(dim: int, n_planes: int = DEFAULT_PLANES, bands: int = DEFAULT_
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(emb: pd.Series) -> pd.Series:
-        out = []
-        for v in emb:
-            if v is None:
-                out.append(None)
-                continue
-            bits = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            sigs = []
-            for b in range(bands):
-                s = 0
-                for r in range(rows):
-                    s = (s << 1) | int(bits[b * rows + r])
-                sigs.append((b << 32) | s)
-            out.append(sigs)
+        # one GEMM + vectorized bit-packing per Arrow batch (the per-row
+        # Python loop was a measurable non-scaling cost at bench size)
+        mask = np.array([v is not None for v in emb])
+        out = np.empty(len(emb), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in emb[mask]])
+            bits = (X @ planes.T) > 0  # (n, n_planes)
+            weights = (1 << np.arange(rows - 1, -1, -1)).astype(np.int64)
+            sigs = bits.reshape(len(X), bands, rows).astype(np.int64) @ weights
+            sigs |= np.arange(bands, dtype=np.int64) << 32
+            rows_obj = np.empty(len(sigs), dtype=object)  # keep rows ragged-typed
+            for i in range(len(sigs)):
+                rows_obj[i] = sigs[i]
+            out[mask] = rows_obj
         return pd.Series(out)
 
     return _sig
@@ -145,6 +147,7 @@ def candidate_topk(
     max_bucket: int = DEFAULT_MAX_BUCKET,
     dim: int | None = None,
     target_bucket: int = 500,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-node top-k neighbors via bucketed GEMM — the scale path for the
     ANN candidate join (J1) and the distributed analogue of per-node HNSW
@@ -167,8 +170,9 @@ def candidate_topk(
     if n_planes is None:
         # adaptive band width: rows/band grows with corpus size so the mean
         # bucket stays ~target_bucket rows (GEMM-sized); recall per band
-        # falls but 20 bands keep union recall high for rule-grade pairs
-        n = nodes.count()
+        # falls but 20 bands keep union recall high for rule-grade pairs.
+        # callers that already know the row count pass n_rows to skip a job
+        n = n_rows if n_rows is not None else nodes.count()
         rows = min(10, max(3, int(np.ceil(np.log2(max(n / target_bucket, 1.0)) )) ))
         n_planes = rows * bands
 
@@ -203,7 +207,11 @@ def candidate_topk(
         if n > max_bucket:  # hot-bucket guard (deterministic truncation)
             pdf = pdf.sort_values("nid").head(max_bucket)
             n = max_bucket
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        # float32 GEMM: embeddings are float32 already; halving the matrix
+        # bytes matters because this VM's aggregate memory bandwidth DROPS
+        # with thread count (BASELINE.md round-2 probes) — sgemm is
+        # deterministic single-threaded, scores stay stable across runs
+        X = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0] = 1.0
         Xn = X / norms[:, None]
@@ -222,40 +230,45 @@ def candidate_topk(
         )
 
     per_bucket = sigs.groupBy("sig").applyInPandas(
-        bucket_topk, schema="a_id long, bs array<long>, ss array<double>"
+        bucket_topk, schema="a_id long, bs array<long>, ss array<float>"
     )
 
-    def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized per-node merge: max score per neighbor, global top-k,
-        deterministic (−score, neighbor id) order."""
-        out_a, out_b, out_s = [], [], []
-        for a_id, group in pdf.groupby("a_id", sort=False):
-            bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in group["bs"]])
-            ss = np.concatenate([np.asarray(x, dtype=np.float64) for x in group["ss"]])
-            # max score per neighbor: sort (b asc, s desc), keep first per b
-            order = np.lexsort((-ss, bs))
-            bs, ss = bs[order], ss[order]
-            first = np.ones(len(bs), dtype=bool)
-            first[1:] = bs[1:] != bs[:-1]
-            bs, ss = bs[first], ss[first]
-            # top-k by (-s, b)
-            sel = np.lexsort((bs, -ss))[:k]
-            out_a.append(np.full(len(sel), a_id, dtype=np.int64))
-            out_b.append(bs[sel])
-            out_s.append(ss[sel])
-        if not out_a:
-            return pd.DataFrame(
-                {"a_id": pd.Series(dtype="int64"), "b_id": pd.Series(dtype="int64"), "score": pd.Series(dtype=float)}
-            )
-        return pd.DataFrame(
-            {
-                "a_id": np.concatenate(out_a),
-                "b_id": np.concatenate(out_b),
-                "score": np.concatenate(out_s),
-            }
-        )
+    def merge_topk(batches) -> "Iterator[pd.DataFrame]":
+        """Whole-partition vectorized per-node merge: max score per neighbor,
+        then per-node top-k by (−score, neighbor id) — three lexsorts over
+        flat arrays instead of one Python call per node. (The previous
+        groupBy(a_id).applyInPandas paid ~1 ms of per-group overhead × one
+        group per node, a non-scaling cost that dominated the merge stage.)
 
-    merged = per_bucket.groupBy("a_id").applyInPandas(
+        Requires all rows of an a_id in one partition — guaranteed by the
+        repartition(a_id) below; batches within the partition are concatenated
+        (partition memory = nodes/P × bands × k × 16 B; size P accordingly).
+        """
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        lens = np.fromiter((len(x) for x in pdf["bs"]), dtype=np.int64, count=len(pdf))
+        a = np.repeat(pdf["a_id"].to_numpy(), lens)
+        bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["bs"]])
+        ss = np.concatenate([np.asarray(x, dtype=np.float32) for x in pdf["ss"]])
+        # max score per (a, neighbor): sort (a, b, s desc), keep first per (a,b)
+        order = np.lexsort((-ss, bs, a))
+        a, bs, ss = a[order], bs[order], ss[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (bs[1:] != bs[:-1])
+        a, bs, ss = a[first], bs[first], ss[first]
+        # per-node top-k by (-s, b): sort (a, -s, b), positional rank per group
+        order = np.lexsort((bs, -ss, a))
+        a, bs, ss = a[order], bs[order], ss[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        counts = np.diff(np.r_[starts, len(a)])
+        rank = np.arange(len(a)) - np.repeat(starts, counts)
+        keep = rank < k
+        yield pd.DataFrame({"a_id": a[keep], "b_id": bs[keep], "score": ss[keep]})
+
+    n_parts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    merged = per_bucket.repartition(n_parts, "a_id").mapInPandas(
         merge_topk, schema="a_id long, b_id long, score double"
     )
     a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))

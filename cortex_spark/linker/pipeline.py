@@ -24,16 +24,31 @@ from pyspark.sql import functions as F
 from cortex_spark.linker.lsh import brute_force_pairs, candidate_topk
 from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
 
-ATTR_COLS = ["kind", "title", "body", "tags", "source_agent", "source_session", "created_at"]
+ATTR_COLS = ["kind", "title", "tags", "source_agent", "source_session", "created_at"]
 
 
-def _attach_attrs(ordered_pairs: DataFrame, nodes: DataFrame) -> DataFrame:
-    attrs = nodes.select(F.col("node_id"), *[F.col(c) for c in ATTR_COLS])
+def _attach_attrs(ordered_pairs: DataFrame, nodes: DataFrame, include_body: bool = False) -> DataFrame:
+    """Attach per-side node attributes to the pair frame.
+
+    The negation flag is evaluated ONCE per node here (`neg`), not per pair —
+    the contradiction rule's regex over title+body would otherwise run
+    2 × |pairs| × k times over full body text (the round-1 hot spot). `body`
+    itself rides along only when a config rule dereferences JSON body fields;
+    the default rule set never ships it through the pair frame.
+    """
+    from cortex_spark.functions.text import has_negation_col
+
+    cols = ATTR_COLS + (["body"] if include_body else [])
+    attrs = nodes.select(
+        F.col("node_id"),
+        *[F.col(c) for c in cols],
+        has_negation_col(F.col("title"), F.col("body")).alias("neg"),
+    )
     a = attrs.select(
-        F.col("node_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in ATTR_COLS]
+        F.col("node_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in [*cols, "neg"]]
     )
     b = attrs.select(
-        F.col("node_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in ATTR_COLS]
+        F.col("node_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in [*cols, "neg"]]
     )
     return ordered_pairs.join(a, "a_id").join(b, "b_id")
 
@@ -93,7 +108,10 @@ def link_nodes(
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
     ordered = candidates if candidates is not None else ann_candidates(nodes, cfg, use_lsh, lsh_kwargs)
-    with_attrs = _attach_attrs(ordered, live)
+    needs_body = any(
+        r.condition in ("body_field_contains", "body_field_ref") for r in cfg.config_rules
+    )
+    with_attrs = _attach_attrs(ordered, live, include_body=needs_body)
     proposed = apply_link_rules(with_attrs, cfg)
 
     if existing_edges is not None:

@@ -39,6 +39,15 @@ from cortex_spark.functions.similarity import jaccard_words_col
 from cortex_spark.functions.text import has_negation_col
 
 
+def _neg_col(side: str, precomputed: bool = True) -> Column:
+    """Per-side negation flag: the pair frame carries `a_neg`/`b_neg`
+    (evaluated once per node in _attach_attrs); hand-built pair frames in
+    tests fall back to evaluating the regex over title+body per pair."""
+    if precomputed:
+        return F.col(f"{side}_neg")
+    return has_negation_col(F.col(f"{side}_title"), F.col(f"{side}_body"))
+
+
 @dataclass
 class ConfigRule:
     """User-defined rule (reference linker/config.rs:261-288,382-424).
@@ -62,6 +71,7 @@ class ConfigRule:
     weight: float = 0.8
     weight_is_score: bool = False
     bidirectional: bool = False
+    _neg_precomputed: bool = False  # set by apply_link_rules per pair frame
 
     def predicate(self, score: Column) -> Column:
         a, b = F.col, F.col
@@ -108,10 +118,7 @@ class ConfigRule:
                 F.col("a_tags"), lambda t: t == F.concat(F.lit(pfx), F.lower(F.col("b_title")))
             )
         elif c == "negation_detected":
-            cond = cond & (
-                has_negation_col(F.col("a_title"), F.col("a_body"))
-                != has_negation_col(F.col("b_title"), F.col("b_body"))
-            )
+            cond = cond & (_neg_col("a", self._neg_precomputed) != _neg_col("b", self._neg_precomputed))
         else:
             raise ValueError(f"unknown config-rule condition: {c}")
         return cond
@@ -170,8 +177,11 @@ def apply_link_rules(pairs: DataFrame, config: LinkerConfig | None = None) -> Da
     cfg = config or LinkerConfig()
     score = F.col("score")
     shared = F.size(F.array_intersect(F.coalesce(F.col("a_tags"), F.array()), F.coalesce(F.col("b_tags"), F.array())))
-    a_neg = has_negation_col(F.col("a_title"), F.col("a_body"))
-    b_neg = has_negation_col(F.col("b_title"), F.col("b_body"))
+    neg_pre = "a_neg" in pairs.columns
+    a_neg = _neg_col("a", neg_pre)
+    b_neg = _neg_col("b", neg_pre)
+    for r in cfg.config_rules:
+        r._neg_precomputed = neg_pre
 
     slots: list[Column] = [
         _edge_slot(

@@ -56,11 +56,19 @@ def run_cycle(
     embed_model: str = "hash-v1",
     max_nodes_per_cycle: int = MAX_NODES_PER_CYCLE,
     max_edges_per_cycle: int = MAX_EDGES_PER_CYCLE,
+    index_store=None,
 ) -> tuple[DataFrame, dict]:
     """One incremental cycle. Returns (new_edges, metrics).
 
     Caller appends new_edges to the edge table; metrics carries the advanced
     cursor (already persisted to meta_path).
+
+    `index_store` (an LshIndexStore) is the scale path: the live corpus's
+    LSH signatures are a PERSISTED table — the cycle computes signatures for
+    the ≤500 fresh nodes only, probes the stored index, and appends the fresh
+    signatures afterwards. Without it, the cycle falls back to re-bucketing
+    the live table (correct, but per-cycle cost grows with the corpus — the
+    round-1 anti-pattern this parameter removes).
     """
     cfg = config or LinkerConfig()
     now = now or datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -90,15 +98,26 @@ def run_cycle(
         _write_meta(meta_path, cursor, cycle + 1, chash, metrics)
         return nodes.sparkSession.createDataFrame([], existing_edges.schema), metrics
 
-    # incremental candidate join: fresh nodes probe the full corpus (the
+    # incremental candidate join: fresh nodes probe the corpus index (the
     # reference's per-node HNSW search against the whole index)
-    from cortex_spark.dataops.ann import ann_topk_lsh
+    if index_store is not None:
+        if not index_store.exists():
+            # first cycle: index the pre-cursor backlog once
+            index_store.append(live.join(fresh.select("node_id"), "node_id", "left_anti"))
+        # insert-then-search, like the reference's HNSW cycle — fresh nodes
+        # see both the stored corpus and each other
+        index_store.append(fresh)
+        pairs = index_store.probe(fresh, k=cfg.ann_k)
+        # drop tombstoned/stale index entries (HNSW-stale semantics)
+        pairs = pairs.join(live.select(F.col("node_id").alias("b_id")), "b_id", "left_semi")
+    else:
+        from cortex_spark.dataops.ann import ann_topk_lsh
 
-    pairs = ann_topk_lsh(
-        live.select(F.col("node_id").alias("vec_id"), F.col("embedding")),
-        fresh.select(F.col("node_id").alias("vec_id"), F.col("embedding")),
-        k=cfg.ann_k,
-    ).select(F.col("query_id").alias("a_id"), F.col("neighbor_id").alias("b_id"), "score")
+        pairs = ann_topk_lsh(
+            live.select(F.col("node_id").alias("vec_id"), F.col("embedding")),
+            fresh.select(F.col("node_id").alias("vec_id"), F.col("embedding")),
+            k=cfg.ann_k,
+        ).select(F.col("query_id").alias("a_id"), F.col("neighbor_id").alias("b_id"), "score")
 
     with_attrs = _attach_attrs(pairs, live)
     proposed = apply_link_rules(with_attrs, cfg)

@@ -20,9 +20,11 @@ from dataclasses import asdict, dataclass, field
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cortex_spark.canon.dedup import dedup_actions, dedup_pairs
 from cortex_spark.canon.merge import canonicalize
+from cortex_spark.extract.fused import pages_to_nodes_fused
 from cortex_spark.extract.pipeline import pages_to_nodes
 from cortex_spark.linker.pipeline import link_nodes
 from cortex_spark.linker.rules import LinkerConfig
@@ -38,6 +40,9 @@ class PipelineConfig:
     lsh_planes: int = 16
     lsh_bands: int = 8
     run_dedup: bool = True
+    # single-Python-pass extraction kernel (extract/fused.py) — bit-identical
+    # to the 3-UDF path (pytest-asserted) but one Arrow boundary instead of 3
+    fused_extract: bool = True
     linker: LinkerConfig = field(default_factory=LinkerConfig)
     run_ts: str = "2026-01-01 00:00:00"
 
@@ -63,10 +68,11 @@ def run_pipeline(
     t0 = time.time()
     summary: dict = {"config_hash": h, "stages": {}}
 
+    extract_fn = pages_to_nodes_fused if cfg.fused_extract else pages_to_nodes
     nodes, r1 = store.load_or_run(
         "nodes",
         h,
-        lambda: pages_to_nodes(
+        lambda: extract_fn(
             pages, langs=cfg.langs, embed_dim=cfg.embed_dim, embed_seed=cfg.embed_seed
         ),
         partition_by=["kind"],
@@ -97,11 +103,14 @@ def run_pipeline(
 
     if cfg.run_dedup:
         def _canon_nodes() -> DataFrame:
+            from cortex_spark.canon.merge import canonical_map
+
             pairs = dedup_pairs(nodes, cfg.linker.dedup_threshold, candidates=_cands())
             actions = dedup_actions(pairs, nodes, edges)
             n2, e2 = canonicalize(nodes, edges, actions, run_ts=cfg.run_dt)
-            # stash edges for the next stage via closure
+            # stash edges + canonical map (for the audit log) via closure
             _canon_nodes.edges = e2  # type: ignore[attr-defined]
+            _canon_nodes.cmap = canonical_map(actions, nodes, edges)  # type: ignore[attr-defined]
             return n2
 
         cnodes, r3 = store.load_or_run("canonical_nodes", h, _canon_nodes, partition_by=["kind"])
@@ -119,6 +128,22 @@ def run_pipeline(
         summary["stages"]["canonical_edges"] = asdict(r4)
     else:
         cnodes, cedges = nodes, edges
+
+    # append-only audit log (policies/audit.rs analogue): one row per
+    # mutation, derived from stage outputs; only for stages that ran fresh
+    import os
+
+    from cortex_spark.audit import AuditLog, audit_entries, canonicalization_audit
+
+    alog = AuditLog(os.path.join(out_dir, "audit"), spark)
+    if not r1.resumed:
+        alog.append(audit_entries(nodes, "node.created", cfg.run_dt, actor="ingest"))
+    if not r2.resumed:
+        alog.append(audit_entries(edges, "edge.created", cfg.run_dt, actor="auto_linker", id_col="edge_id"))
+    if cfg.run_dedup and not r3.resumed and hasattr(_canon_nodes, "cmap"):
+        dedup_e = cedges.filter(F.col("provenance.ptype") == "auto_dedup")
+        alog.append(canonicalization_audit(nodes, _canon_nodes.cmap, dedup_e, cfg.run_dt))
+    summary["audit_rows"] = alog.read().count()
 
     summary["wall_secs"] = time.time() - t0
     summary["triples"] = summary["stages"].get("canonical_edges", summary["stages"]["edges"])["rows"]

@@ -19,21 +19,24 @@ _CHILD_SNIPPET = """
 import json, sys, time
 sys.path.insert(0, {root!r})
 from cortex_spark.corpus import synth_pages
-from cortex_spark.extract.pipeline import pages_to_nodes
+from cortex_spark.extract.fused import pages_to_nodes_fused
 from cortex_spark.linker.pipeline import link_nodes
 from cortex_spark.session import get_spark
 
 cpus, n_pages = {cpus}, {n_pages}
-spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark = get_spark(f"scaling-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
 pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2)
-nodes = pages_to_nodes(pages, embed_dim=64).localCheckpoint()
+nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
 n_nodes = nodes.count()
-edges = link_nodes(nodes, use_lsh=True).localCheckpoint()
+t_ex = time.time() - t0
+edges = link_nodes(nodes, use_lsh=True,
+                   lsh_kwargs={{"dim": 64, "n_rows": n_nodes}}).localCheckpoint()
 n_edges = edges.count()
 secs = time.time() - t0
-print(json.dumps({{"cpus": cpus, "secs": round(secs, 2), "nodes": n_nodes,
+print(json.dumps({{"cpus": cpus, "secs": round(secs, 2), "extract_secs": round(t_ex, 2),
+                   "link_secs": round(secs - t_ex, 2), "nodes": n_nodes,
                    "triples": n_edges, "triples_per_sec": round(n_edges / secs, 1)}}))
 """
 
@@ -63,7 +66,7 @@ def main() -> None:
     runs = {8: [], 32: []}
     for cpus in (32, 8, 8, 32):  # ABBA
         runs[cpus].append(one_run(cpus, n_pages))
-        time.sleep(20)
+        time.sleep(45)  # let the host's IO/memory credits recover between runs
     low = min(runs[8], key=lambda r: r["secs"])
     high = min(runs[32], key=lambda r: r["secs"])
     eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (32 / 8)

@@ -1,0 +1,153 @@
+"""Per-substage scaling diagnosis for the link pipeline.
+
+Forces materialization between candidate_topk's internal stages to find
+which one fails to scale 8→32 cores. Usage:
+    python scripts/bench_stages.py <cpus> [n_pages]
+Prints one JSON line with per-substage wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 32000
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cortex_spark.corpus import synth_pages
+    from cortex_spark.extract.fused import pages_to_nodes_fused
+    from cortex_spark.linker.lsh import add_lsh_bands
+    from cortex_spark.linker.pipeline import _attach_attrs
+    from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
+    from cortex_spark.session import get_spark
+
+    spark = get_spark(f"stages-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus, "n_pages": n_pages}
+
+    t = time.time()
+    pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2)
+    nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
+    n_nodes = nodes.count()
+    out["extract"] = round(time.time() - t, 2)
+    out["nodes"] = n_nodes
+
+    k, bands, seed, max_bucket, target_bucket = 100, 20, 7, 2000, 500
+    rows = min(10, max(3, int(np.ceil(np.log2(max(n_nodes / target_bucket, 1.0))))))
+    n_planes = rows * bands
+
+    # stage 1: signatures + explode
+    t = time.time()
+    with_sigs = add_lsh_bands(nodes, "embedding", 64, n_planes, bands, seed)
+    sigs = (
+        with_sigs.select(
+            F.xxhash64(F.col("node_id")).alias("nid"),
+            F.col("embedding").alias("vec"),
+            F.explode("lsh_sigs").alias("sig"),
+        )
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint()
+    )
+    n_sigs = sigs.count()
+    out["sig_explode"] = round(time.time() - t, 2)
+    out["sig_rows"] = n_sigs
+
+    # stage 2: bucket GEMM top-k
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "bs": pd.Series(dtype=object), "ss": pd.Series(dtype=object)})
+        if n > max_bucket:
+            pdf = pdf.sort_values("nid").head(max_bucket)
+            n = max_bucket
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        S = Xn @ Xn.T
+        np.fill_diagonal(S, -np.inf)
+        kk = min(k, n - 1)
+        ids = pdf["nid"].to_numpy()
+        top_idx = np.argpartition(-S, kk, axis=1)[:, :kk] if kk < n - 1 else np.argsort(-S, axis=1)[:, :kk]
+        scores = np.take_along_axis(S, top_idx, axis=1)
+        return pd.DataFrame({"a_id": ids, "bs": list(ids[top_idx]), "ss": list(scores)})
+
+    t = time.time()
+    per_bucket = sigs.groupBy("sig").applyInPandas(
+        bucket_topk, schema="a_id long, bs array<long>, ss array<double>"
+    ).localCheckpoint()
+    n_pb = per_bucket.count()
+    out["bucket_gemm"] = round(time.time() - t, 2)
+    out["bucket_rows"] = n_pb
+
+    # stage 3: repartition + vectorized merge
+    def merge_topk(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        lens = np.fromiter((len(x) for x in pdf["bs"]), dtype=np.int64, count=len(pdf))
+        a = np.repeat(pdf["a_id"].to_numpy(), lens)
+        bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["bs"]])
+        ss = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["ss"]])
+        order = np.lexsort((-ss, bs, a))
+        a, bs, ss = a[order], bs[order], ss[order]
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (bs[1:] != bs[:-1])
+        a, bs, ss = a[first], bs[first], ss[first]
+        order = np.lexsort((bs, -ss, a))
+        a, bs, ss = a[order], bs[order], ss[order]
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        counts = np.diff(np.r_[starts, len(a)])
+        rank = np.arange(len(a)) - np.repeat(starts, counts)
+        keep = rank < k
+        yield pd.DataFrame({"a_id": a[keep], "b_id": bs[keep], "score": ss[keep]})
+
+    t = time.time()
+    merged = per_bucket.repartition(cpus * 2, "a_id").mapInPandas(
+        merge_topk, schema="a_id long, b_id long, score double"
+    ).localCheckpoint()
+    n_m = merged.count()
+    out["merge"] = round(time.time() - t, 2)
+    out["pair_rows"] = n_m
+
+    # stage 4: id map-back + attrs + rules + windows
+    t = time.time()
+    id_map = nodes.select(F.col("node_id").alias("sid"), F.xxhash64(F.col("node_id")).alias("nid"))
+    a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))
+    b_map = id_map.select(F.col("nid").alias("b_id"), F.col("sid").alias("b_sid"))
+    pairs = (
+        merged.join(F.broadcast(a_map), "a_id")
+        .join(F.broadcast(b_map), "b_id")
+        .select(F.col("a_sid").alias("a_id"), F.col("b_sid").alias("b_id"), "score")
+    )
+    live = nodes.filter(~F.col("deleted"))
+    with_attrs = _attach_attrs(pairs, live)
+    proposed = apply_link_rules(with_attrs, LinkerConfig())
+    from pyspark.sql import Window
+
+    w_dup = Window.partitionBy("src", "dst", "relation").orderBy("priority")
+    w_cap = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"), F.asc("priority"))
+    deduped = (
+        proposed.withColumn("rn", F.row_number().over(w_dup)).filter(F.col("rn") == 1).drop("rn")
+        .withColumn("cap_rn", F.row_number().over(w_cap)).filter(F.col("cap_rn") <= 50).drop("cap_rn")
+    )
+    n_e = deduped.count()
+    out["rules_windows"] = round(time.time() - t, 2)
+    out["edges"] = n_e
+    out["total"] = round(sum(v for kk2, v in out.items() if kk2 in ("extract", "sig_explode", "bucket_gemm", "merge", "rules_windows")), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,20 @@ def test_spark_extract_matches_python(spark):
     df = spark.createDataFrame(rows, "html binary, expected string")
     bad = df.withColumn("got", extract_text_udf("html")).filter(F.col("got") != F.col("expected"))
     assert bad.count() == 0
+
+
+def test_fused_matches_unfused(spark):
+    """The single-pass mapInPandas kernel must produce bit-identical rows to
+    the 3-UDF column path (same ids, kinds, titles, tags, embeddings)."""
+    from cortex_spark.corpus import synth_pages
+    from cortex_spark.extract.fused import pages_to_nodes_fused
+    from cortex_spark.extract.pipeline import pages_to_nodes
+
+    pages = synth_pages(spark, 60, seed=7, partitions=4).cache()
+    a = pages_to_nodes(pages, embed_dim=32).orderBy("node_id")
+    b = pages_to_nodes_fused(pages, embed_dim=32).orderBy("node_id")
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == len(rb) and len(ra) > 50
+    for x, y in zip(ra, rb):
+        assert x == y, f"mismatch: {x}\n!=\n{y}"
+    pages.unpersist()
