@@ -565,6 +565,50 @@ def q_briefing_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prompt_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt resolver HEAD detection (resolver.rs:67-80) through the real
+    heads(): documents become versioned prompt nodes (slug = source, version
+    = per-source sequence, supersedes chain between consecutive versions);
+    HEAD per slug must be the max version."""
+    from pyspark.sql import Window
+
+    from cortex_spark.prompt_graph import heads
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    v = d.select("doc_id", "source", F.row_number().over(w).alias("version"))
+    nodes = v.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.lit("prompt").alias("kind"),
+        F.col("source").alias("title"),
+        F.to_json(
+            F.struct(
+                F.col("source").alias("slug"),
+                F.lit("persona").alias("type"),
+                F.lit("main").alias("branch"),
+                F.col("version").alias("version"),
+            )
+        ).alias("body"),
+        F.array().cast("array<string>").alias("tags"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int"))
+        ).alias("created_at"),
+    )
+    prev = v.select(
+        F.col("source").alias("p_source"), F.col("doc_id").alias("p_doc"), (F.col("version") + 1).alias("p_next")
+    )
+    edges = (
+        v.join(prev, (F.col("source") == F.col("p_source")) & (F.col("version") == F.col("p_next")))
+        .select(
+            F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("p_doc").cast("string")).alias("dst"),
+            F.lit("supersedes").alias("relation"),
+        )
+    )
+    return heads(nodes, edges).select("slug", "branch", "version", "node_id")
+
+
 def q_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 multi-source BFS: depths from region r0 over the TPC-H DAG, depth
     ≤ 3 — the oracle reproduces it with explicit per-level joins."""
@@ -622,14 +666,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic fake images derived from the
     embeddings table (vec_id-seeded payload) → mapInPandas decode →
     per-channel features. Rows-only check (codec is the test stub)."""
+    import pandas as pd
+
     from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_and_featurize, encode_fake_image
 
-    ids = [int(r["vec_id"]) for r in _embs(spark, sf_dir).filter("vec_id < 64").collect()]
-    rows = [
-        (f"m{i}", "image", encode_fake_image(8, 8, 3, seed=i), ("image/fake", 8, 8, 3, None))
-        for i in ids
-    ]
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build(batches):
+        # fixture construction stays executor-side (no driver collect)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"m{i}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "content": [encode_fake_image(8, 8, 3, seed=i) for i in ids],
+                    "media_meta": [
+                        {"mime": "image/fake", "width": 8, "height": 8, "channels": 3, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = _embs(spark, sf_dir).filter("vec_id < 64").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
     out = decode_and_featurize(media, resize_to=(4, 4))
     return out.select(
         "media_id", "width", "height", "channels", F.round(F.col("features")[0], 6).alias("f0")
@@ -706,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "merge_semantics": q_merge_semantics,
         "briefing_rank": q_briefing_rank,
+        "prompt_heads": q_prompt_heads,
         "multimodal_decode": q_multimodal_decode,
         "simhash": q_simhash,
         "briefing": q_briefing,
@@ -992,6 +1050,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT section, CAST(row_number() OVER (PARTITION BY section "
             "ORDER BY importance DESC, access_count DESC, node_id ASC) AS INTEGER) AS section_rank, "
             "node_id, round(importance, 6) AS importance FROM final"
+        ),
+        "prompt_heads": (
+            "WITH v AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS version "
+            "FROM documents), "
+            "m AS (SELECT source, max(version) AS version FROM v GROUP BY source) "
+            "SELECT v.source AS slug, 'main' AS branch, CAST(v.version AS INTEGER) AS version, "
+            "'p' || v.doc_id AS node_id FROM v JOIN m ON v.source = m.source AND v.version = m.version"
         ),
         # ann_lsh / briefing / kg_triples: non-SQL-expressible (stochastic
         # bucketing / full KG pipeline) → rows-only checks.

@@ -323,3 +323,52 @@ def test_run_cycle_with_index_scales_with_fresh_count(spark, nodes_df_factory, e
     key = lambda df: {(r["src"], r["dst"], r["relation"]) for r in df.collect()}  # noqa: E731
     assert key(e1) == key(r1)
     assert key(e2) == key(r2)
+
+
+# --------------------------------------------------------------------------
+# change feed / mutation hooks (hooks/mod.rs batch analogue)
+# --------------------------------------------------------------------------
+
+
+def test_snapshot_changes_and_hooks(spark, nodes_df_factory, edges_df_factory):
+    from cortex_spark.changes import HookRegistry, snapshot_changes
+
+    old_n = nodes_df_factory(
+        [
+            make_node("keep", created_at="2026-01-01 00:00:00"),
+            make_node("upd", created_at="2026-01-01 00:00:00"),
+            make_node("tomb", created_at="2026-01-01 00:00:00"),
+            make_node("hard", created_at="2026-01-01 00:00:00"),
+        ]
+    )
+    new_rows = [
+        make_node("keep", created_at="2026-01-01 00:00:00"),
+        make_node("new", created_at="2026-02-01 00:00:00"),
+        make_node("tomb", created_at="2026-01-01 00:00:00", deleted=True),
+    ]
+    # 'upd' gets a later updated_at; 'hard' vanishes
+    upd = list(make_node("upd", created_at="2026-01-01 00:00:00"))
+    from tests.conftest import ts as _ts
+
+    upd[14] = _ts("2026-02-02 00:00:00")  # updated_at
+    new_n = nodes_df_factory(new_rows + [tuple(upd)])
+    old_e = edges_df_factory([make_edge("keep", "upd"), make_edge("keep", "hard")])
+    new_e = edges_df_factory([make_edge("keep", "upd"), make_edge("keep", "new")])
+
+    ch = snapshot_changes(old_n, new_n, old_e, new_e)
+    got = {(r["op"], r["target_id"]) for r in ch.collect()}
+    assert got == {
+        ("node_created", "new"),
+        ("node_updated", "upd"),
+        ("node_deleted", "tomb"),
+        ("node_deleted", "hard"),
+        ("edge_created", "keep-new-related_to"),
+        ("edge_deleted", "keep-hard-related_to"),
+    }
+
+    seen: dict[str, int] = {}
+    reg = HookRegistry()
+    reg.register("node_created", lambda df: seen.__setitem__("created", df.count()))
+    counts = reg.dispatch(ch)
+    assert counts["node_created"] == 1 and counts["node_deleted"] == 2
+    assert seen["created"] == 1
