@@ -41,12 +41,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract → link → top-20 most-connected entities (sf0.001)."""
     from cortex_spark.corpus import pages_from_documents
-    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.extract.fused import pages_to_nodes_fused
     from cortex_spark.graph.degree import most_connected
     from cortex_spark.linker.pipeline import link_nodes
 
     pages = pages_from_documents(spark, "/root/testdata/sf0.001")
-    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    nodes = pages_to_nodes_fused(pages, embed_dim=64).cache()
     edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
     return most_connected(nodes, edges, n=20)
 
@@ -565,6 +565,65 @@ def q_briefing_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 max-node-cap eviction (retention.rs:231-288) through the real
+    eviction_candidates: live nodes over the cap, lowest importance first,
+    oldest first on ties."""
+    from cortex_spark.decay import eviction_candidates
+    from cortex_spark.functions.text import quality_score_col
+
+    d = _docs(spark, sf_dir)
+    nodes = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("node_id"),
+        quality_score_col(F.col("text")).alias("importance"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 400).cast("int"))
+        ).alias("created_at"),
+        F.lit(False).alias("deleted"),
+    )
+    return eviction_candidates(nodes, limit=100).select("node_id")
+
+
+def q_decay_shielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 edge decay with importance shielding (decay.rs:72-99) through the
+    real apply_decay: eff_rate = 0.01·(1 − max(imp_src, imp_dst)·0.8),
+    w' = w·exp(−eff_rate·days), survivors ≥ 0.05. Edges chain consecutive
+    docs; endpoint importances are quality scores."""
+    from datetime import datetime as _dt
+
+    from cortex_spark.decay import apply_decay
+    from cortex_spark.functions.text import quality_score_col
+
+    d = _docs(spark, sf_dir)
+    nodes = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("node_id"),
+        quality_score_col(F.col("text")).alias("importance"),
+    )
+    ids = d.select("doc_id")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"), F.col("doc_id").alias("nxt"))
+    edges = ids.join(nxt, "doc_id").select(
+        F.concat(F.lit("e"), F.col("doc_id").cast("string")).alias("edge_id"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("d"), F.col("nxt").cast("string")).alias("dst"),
+        F.lit("related_to").alias("relation"),
+        (F.lit(0.06) + (F.col("doc_id") % 100).cast("double") / F.lit(100.0)).alias("weight"),
+        F.struct(
+            F.lit("auto_similarity").alias("ptype"),
+            F.lit(None).cast("string").alias("detail"),
+            F.lit(None).cast("float").alias("score"),
+        ).alias("provenance"),
+        (
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 300).cast("int"))
+        ).alias("updated_at"),
+    )
+    survivors, _metrics = apply_decay(edges, nodes, now=_dt(2026, 1, 1))
+    return survivors.select(
+        "edge_id", F.round(F.col("weight").cast("double"), 6).alias("weight")
+    )
+
+
 def q_prompt_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prompt resolver HEAD detection (resolver.rs:67-80) through the real
     heads(): documents become versioned prompt nodes (slug = source, version
@@ -705,11 +764,11 @@ def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.4 briefing report over the KG built from documents (rows-only)."""
     from cortex_spark.briefing import generate_briefing
     from cortex_spark.corpus import pages_from_documents
-    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.extract.fused import pages_to_nodes_fused
     from cortex_spark.linker.pipeline import link_nodes
 
     pages = pages_from_documents(spark, sf_dir)
-    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    nodes = pages_to_nodes_fused(pages, embed_dim=64).cache()
     edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
     agent = nodes.select("source_agent").orderBy("source_agent").first()["source_agent"]
     return generate_briefing(nodes, edges, agent, now=RUN_TS.replace(tzinfo=None))
@@ -719,11 +778,11 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KG pipeline's emitted triples by relation/provenance (rows-only;
     P/R vs the exact-candidate path is asserted in pytest)."""
     from cortex_spark.corpus import pages_from_documents
-    from cortex_spark.extract.pipeline import pages_to_nodes
+    from cortex_spark.extract.fused import pages_to_nodes_fused
     from cortex_spark.linker.pipeline import link_nodes
 
     pages = pages_from_documents(spark, sf_dir)
-    nodes = pages_to_nodes(pages, embed_dim=64).cache()
+    nodes = pages_to_nodes_fused(pages, embed_dim=64).cache()
     edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
     return edges.groupBy("relation", F.col("provenance.ptype").alias("ptype")).agg(
         F.count(F.lit(1)).alias("n")
@@ -764,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_semantics": q_merge_semantics,
         "briefing_rank": q_briefing_rank,
         "prompt_heads": q_prompt_heads,
+        "eviction": q_eviction,
+        "decay_shielded": q_decay_shielded,
         "multimodal_decode": q_multimodal_decode,
         "simhash": q_simhash,
         "briefing": q_briefing,
@@ -1050,6 +1111,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT section, CAST(row_number() OVER (PARTITION BY section "
             "ORDER BY importance DESC, access_count DESC, node_id ASC) AS INTEGER) AS section_rank, "
             "node_id, round(importance, 6) AS importance FROM final"
+        ),
+        "eviction": (
+            f"WITH n AS (SELECT 'd' || doc_id AS node_id, ({_QUALITY_SQL}) AS imp, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 400 AS INT)) AS created_at FROM documents) "
+            "SELECT node_id FROM (SELECT node_id, "
+            "row_number() OVER (ORDER BY imp ASC, created_at ASC, node_id ASC) AS rn FROM n) "
+            "WHERE rn <= (SELECT count(*) FROM n) - 100"
+        ),
+        "decay_shielded": (
+            f"WITH q AS (SELECT doc_id, ({_QUALITY_SQL}) AS imp FROM documents), "
+            "e AS (SELECT 'e' || a.doc_id AS edge_id, a.doc_id AS s_id, b.doc_id AS d_id, "
+            "0.06 + (a.doc_id % 100) / 100.0 AS w, "
+            "TIMESTAMP '2025-01-01 00:00:00' + to_days(CAST(a.doc_id % 300 AS INT)) AS upd "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1), "
+            "j AS (SELECT e.*, qs.imp AS s_imp, qd.imp AS d_imp FROM e "
+            "JOIN q qs ON qs.doc_id = e.s_id JOIN q qd ON qd.doc_id = e.d_id), "
+            "dec AS (SELECT edge_id, w * exp(-(0.01 * (1 - greatest(s_imp, d_imp) * 0.8)) * "
+            "((epoch(TIMESTAMP '2026-01-01 00:00:00') - epoch(upd)) / 86400.0)) AS nw FROM j) "
+            # survivors filtered on the double; stored weight is float32
+            "SELECT edge_id, round(CAST(CAST(nw AS FLOAT) AS DOUBLE), 6) AS weight FROM dec WHERE nw >= 0.05"
         ),
         "prompt_heads": (
             "WITH v AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS version "

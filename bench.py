@@ -49,6 +49,7 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
         "text_profile",
         "classify",
         "extract_text",
+        "cc",
     ]
     qs = entry_mod.queries()
     for name in HEADLINE:
