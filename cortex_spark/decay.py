@@ -154,6 +154,13 @@ def eviction_candidates(
     asc), take the excess. The reference's sort is not further tie-broken
     (Vec::sort is stable over scan order, which is not reproducible
     distributed) — node_id asc is added as the deterministic tie-break.
+
+    Scale note: a global orderBy+limit funnels the excess through one
+    partition (mirrors the reference's in-RAM whole-table sort,
+    retention.rs:262-271). For billion-row evictions switch to a two-phase
+    plan: approx importance histogram → cutoff c with count(<c) ≤ excess,
+    evict everything < c, and sort only the boundary group == c for the
+    remainder. Semantics are identical because the sort key is total.
     """
     if strategy != "oldest_lowest_importance":
         raise ValueError(f"Unknown eviction strategy: {strategy}")  # retention.rs:283-286

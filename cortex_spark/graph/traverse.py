@@ -3,9 +3,11 @@
 The reference BFS (graph/traversal.rs:56-187) keeps a queue + visited set +
 depth map with budgets. Distributed: frontier-join iteration — each round
 joins the frontier against the (pre-filtered, cached) adjacency projection
-and keeps the min depth per node. DFS (G2) visits the same node set, so the
-distributed engine exposes BFS semantics and documents order-insensitivity
-(SURVEY G2). Traversal budgets (max_visited / per-level caps,
+and keeps the min depth per node. DFS (G2, traversal.rs:190-315) is
+reproduced EXACTLY (visit order, visited-at-push claim semantics) by
+distributed pruning to the reachable ball + a driver-side stack replay —
+legitimate because the reference bounds every traversal at 10k visited
+nodes. Traversal budgets (max_visited / per-level caps,
 graph/types.rs:159-180) become per-iteration row-count guards.
 
 All filters (relation, min_weight, created_after / as-of time-travel G14)
@@ -101,6 +103,102 @@ def bfs(
         return out
     finally:
         adj.unpersist()
+
+
+def dfs(
+    edges: DataFrame,
+    start: list[str],
+    max_depth: int = DEFAULT_MAX_DEPTH,
+    direction: str = "both",
+    relation: str | list[str] | None = None,
+    min_weight: float | None = None,
+    created_after: datetime | None = None,
+    include_start: bool = True,
+    limit: int | None = None,
+    max_visited: int = DEFAULT_MAX_VISITED,
+) -> tuple[DataFrame, bool]:
+    """Exact reference DFS (traversal.rs:190-315), including visit ORDER and
+    the visited-at-push semantics that make its node set genuinely differ
+    from BFS (a node claimed via a deep branch is never re-reached via a
+    shallower one). Returns ((node_id, depth, visit_order), truncated).
+
+    The reference caps every traversal at max_visited=10k nodes
+    (graph/types.rs:159-180), so the bounded subgraph is driver-report-sized
+    by contract: the distributed part prunes the edge table to the BFS-
+    reachable ball (superset of the DFS result), and the stack replay runs
+    on the collected adjacency. Neighbor order: outgoing before incoming,
+    each sorted by (created_at, edge_id) — the deterministic analogue of the
+    reference's UUIDv7-time-ordered edge-index iteration.
+    """
+    # distributed pruning: DFS can only visit nodes within max_depth hops
+    ball = bfs(edges, start, max_depth, direction, relation, min_weight,
+               created_after, max_visited=max_visited * 4)
+    ball_ids = ball.select("node_id")
+    e = edges
+    if relation is not None:
+        rels = [relation] if isinstance(relation, str) else list(relation)
+        e = e.filter(F.col("relation").isin(rels))
+    if min_weight is not None:
+        e = e.filter(F.col("weight") >= min_weight)
+    if created_after is not None:
+        e = e.filter(F.col("created_at") > F.lit(created_after))
+    induced = (
+        e.join(ball_ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .join(ball_ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+        .select("src", "dst", "edge_id", "created_at")
+        .orderBy("created_at", "edge_id")
+        .collect()
+    )
+    out_adj: dict[str, list[str]] = {}
+    in_adj: dict[str, list[str]] = {}
+    for r in induced:  # already in (created_at, edge_id) order
+        out_adj.setdefault(r["src"], []).append(r["dst"])
+        in_adj.setdefault(r["dst"], []).append(r["src"])
+
+    visited: set[str] = set()
+    stack: list[tuple[str, int]] = []
+    for s in reversed(start):  # traversal.rs:202-205
+        stack.append((s, 0))
+        visited.add(s)
+    result: list[tuple[str, int, int]] = []
+    visit_order = 0
+    truncated = False
+    visited_count = 0
+    while stack:
+        cur, depth = stack.pop()
+        if visited_count >= max_visited:
+            truncated = True
+            break
+        visited_count += 1
+        include = include_start or depth > 0
+        if include:
+            result.append((cur, depth, visit_order))
+            visit_order += 1
+            if limit is not None and len(result) >= limit:
+                truncated = True
+                break
+        if depth >= max_depth:
+            continue
+        nbrs: list[str] = []
+        if direction in ("out", "both"):
+            nbrs += out_adj.get(cur, [])
+        if direction in ("in", "both"):
+            nbrs += in_adj.get(cur, [])
+        # dedupe parallel edges (first occurrence wins — the reference pushes
+        # such a neighbor twice but the second pop only re-inserts identical
+        # (node, depth) into its result map; only its budget counter differs)
+        seen_local: set[str] = set()
+        fresh = [n for n in nbrs if n not in visited and not (n in seen_local or seen_local.add(n))]
+        # push in reverse so iteration order matches recursion (rs:296-303);
+        # mark visited at PUSH time (claims the node for this branch)
+        for n in reversed(fresh):
+            visited.add(n)
+            stack.append((n, depth + 1))
+    spark = edges.sparkSession
+    df = spark.createDataFrame(
+        result or [], "node_id string, depth int, visit_order int"
+    )
+    return df, truncated
 
 
 def neighbors(edges: DataFrame, node_id: str, direction: str = "both", relation=None) -> DataFrame:

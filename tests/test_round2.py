@@ -372,3 +372,71 @@ def test_snapshot_changes_and_hooks(spark, nodes_df_factory, edges_df_factory):
     counts = reg.dispatch(ch)
     assert counts["node_created"] == 1 and counts["node_deleted"] == 2
     assert seen["created"] == 1
+
+
+# --------------------------------------------------------------------------
+# exact-order DFS (traversal.rs:190-315) — closes the G2 'partial'
+# --------------------------------------------------------------------------
+
+
+def test_dfs_visit_order_and_claim_semantics(spark, edges_df_factory):
+    from cortex_spark.graph.traverse import dfs
+
+    #      a ──1──> b ──2──> d
+    #      a ──3──> c ──4──> d   (edge ids / created order = push order)
+    edges = edges_df_factory(
+        [
+            make_edge("a", "b", created_at="2026-01-01 00:00:01"),
+            make_edge("b", "d", created_at="2026-01-01 00:00:02"),
+            make_edge("a", "c", created_at="2026-01-01 00:00:03"),
+            make_edge("c", "d", created_at="2026-01-01 00:00:04"),
+        ]
+    )
+    out, truncated = dfs(edges, ["a"], max_depth=3, direction="out")
+    rows = sorted(out.collect(), key=lambda r: r["visit_order"])
+    # recursive order: a, then a's first neighbor b, then b's subtree (d),
+    # then a's second neighbor c — d already claimed by the b-branch
+    assert [(r["node_id"], r["depth"]) for r in rows] == [
+        ("a", 0), ("b", 1), ("d", 2), ("c", 1)
+    ]
+    assert not truncated
+
+
+def test_dfs_deep_claim_blocks_shallow_path(spark, edges_df_factory):
+    """visited-at-push: a node claimed via a deep branch at max_depth never
+    expands, even though a later shallow path would have — the reference DFS
+    node set genuinely differs from BFS here (traversal.rs:295-303)."""
+    from cortex_spark.graph.traverse import bfs, dfs
+
+    # a→p→q→X claims X at depth 3 (pushed while q expands) BEFORE the
+    # shallower a→m→X path runs, because m is explored after the p-branch;
+    # X at max_depth never expands, so X→y stays unreached.
+    edges = edges_df_factory(
+        [
+            make_edge("a", "p", created_at="2026-01-01 00:00:01"),
+            make_edge("p", "q", created_at="2026-01-01 00:00:02"),
+            make_edge("q", "X", created_at="2026-01-01 00:00:03"),
+            make_edge("a", "m", created_at="2026-01-01 00:00:04"),
+            make_edge("m", "X", created_at="2026-01-01 00:00:05"),
+            make_edge("X", "y", created_at="2026-01-01 00:00:06"),
+        ]
+    )
+    out, _ = dfs(edges, ["a"], max_depth=3, direction="out")
+    got = {(r["node_id"], r["depth"]) for r in out.collect()}
+    assert ("X", 3) in got and not any(n == "y" for n, _ in got)  # X claimed deep
+    bfs_got = {(r["node_id"], r["depth"]) for r in bfs(edges, ["a"], max_depth=3, direction="out").collect()}
+    assert ("X", 2) in bfs_got and ("y", 3) in bfs_got  # BFS reaches y shallower
+
+
+def test_dfs_budgets_and_limit(spark, edges_df_factory):
+    from cortex_spark.graph.traverse import dfs
+
+    edges = edges_df_factory(
+        [make_edge("a", f"n{i}", created_at=f"2026-01-01 00:00:{i:02d}") for i in range(1, 10)]
+    )
+    out, truncated = dfs(edges, ["a"], max_depth=2, direction="out", limit=3)
+    assert out.count() == 3 and truncated
+    out2, trunc2 = dfs(edges, ["a"], max_depth=2, direction="out", max_visited=4)
+    assert out2.count() == 4 and trunc2
+    out3, _ = dfs(edges, ["a"], max_depth=2, direction="out", include_start=False)
+    assert out3.filter("node_id = 'a'").count() == 0
