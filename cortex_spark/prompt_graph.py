@@ -329,3 +329,121 @@ def execute_rollback(
         "cooldown_hours": cooldown_hours, "is_quarantined": quarantined, "rollback_count": count,
     }
     return new_nodes, new_edges, result
+
+
+# ── version/branch builders (resolver.rs:180-277) ───────────────────────────
+
+
+def _prompt_node_rows(
+    spark,
+    slug: str,
+    branch: str,
+    version: int,
+    sections: dict,
+    author: str,
+    now: datetime,
+    overrides: dict | None = None,
+    prompt_type: str = "persona",
+) -> DataFrame:
+    """One node row in the standard NODES shape (build_node, resolver.rs:349+:
+    branch/version are embedded in the body JSON so they round-trip)."""
+    node_id = f"prompt-{slug}-{branch}-v{version}"
+    body = json.dumps(
+        {"slug": slug, "type": prompt_type, "branch": branch, "version": version,
+         "sections": sections, "override_sections": overrides or {}},
+        sort_keys=True,
+    )
+    ts = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    return spark.createDataFrame(
+        [(node_id, "prompt", slug, body)],
+        "node_id string, kind string, title string, body string",
+    ).select(
+        "node_id", "kind", "title", "body",
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.array().cast("array<string>").alias("tags"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(author).alias("source_agent"),
+        F.lit(None).cast("string").alias("source_session"),
+        F.lit(None).cast("string").alias("source_channel"),
+        F.lit(0.5).cast("float").alias("importance"),
+        F.lit(0).cast("bigint").alias("access_count"),
+        ts.alias("last_accessed_at"), ts.alias("created_at"), ts.alias("updated_at"),
+        F.lit(False).alias("deleted"),
+    )
+
+
+def _manual_edge(spark, src: str, dst: str, relation: str, author: str, now: datetime) -> DataFrame:
+    ts = F.to_timestamp(F.lit(now.strftime("%Y-%m-%d %H:%M:%S")))
+    return spark.createDataFrame(
+        [(f"{src}-{dst}-{relation}", src, dst, relation, 1.0, ("manual", author, None))],
+        "edge_id string, src string, dst string, relation string, weight float, "
+        "provenance struct<ptype:string, detail:string, score:float>",
+    ).select("*", ts.alias("created_at"), ts.alias("updated_at"))
+
+
+def create_prompt(
+    nodes: DataFrame, edges: DataFrame, slug: str, sections: dict, author: str,
+    now: datetime, branch: str = "main", prompt_type: str = "persona",
+) -> tuple[DataFrame, DataFrame, str]:
+    """First version of a new prompt (resolver.rs:180-197): rejects an
+    existing slug+branch. Returns (nodes', edges', node_id)."""
+    existing = prompt_cols(nodes).filter((F.col("slug") == slug) & (F.col("branch") == branch))
+    if not existing.isEmpty():
+        raise ValueError(
+            f"Prompt '{slug}' on branch '{branch}' already exists. Use create_version to add a new version."
+        )
+    row = _prompt_node_rows(nodes.sparkSession, slug, branch, 1, sections, author, now, prompt_type=prompt_type)
+    node_id = row.first()["node_id"]
+    return nodes.unionByName(row.select(*nodes.columns)), edges, node_id
+
+
+def create_version(
+    nodes: DataFrame, edges: DataFrame, slug: str, sections: dict, author: str,
+    now: datetime, branch: str = "main",
+) -> tuple[DataFrame, DataFrame, str]:
+    """New version = node at HEAD.version+1 plus a Manual `supersedes` edge
+    new → old (resolver.rs:199-234). Returns (nodes', edges', node_id)."""
+    head_row = heads(nodes, edges).filter(
+        (F.col("slug") == slug) & (F.col("branch") == branch)
+    ).first()
+    if head_row is None:
+        raise ValueError(f"Prompt '{slug}' on branch '{branch}' not found")
+    v = head_row["version"] + 1
+    spark = nodes.sparkSession
+    row = _prompt_node_rows(spark, slug, branch, v, sections, author, now)
+    node_id = row.first()["node_id"]
+    e = _manual_edge(spark, node_id, head_row["node_id"], "supersedes", author, now)
+    return (
+        nodes.unionByName(row.select(*nodes.columns)),
+        edges.unionByName(e.select(*edges.columns)),
+        node_id,
+    )
+
+
+def create_branch(
+    nodes: DataFrame, edges: DataFrame, slug: str, from_branch: str, new_branch: str,
+    author: str, now: datetime, base_version: int | None = None,
+) -> tuple[DataFrame, DataFrame, str]:
+    """Fork onto a new branch at v1 with a Manual `branched_from` edge to the
+    base version (resolver.rs:236-277)."""
+    p = prompt_cols(nodes).filter((F.col("slug") == slug) & (F.col("branch") == from_branch))
+    if base_version is not None:
+        base = p.filter(F.col("version") == base_version).first()
+        if base is None:
+            raise ValueError(f"Version {base_version} of '{slug}@{from_branch}' not found")
+    else:
+        base = heads(nodes, edges).filter(
+            (F.col("slug") == slug) & (F.col("branch") == from_branch)
+        ).first()
+        if base is None:
+            raise ValueError(f"Prompt '{slug}' on branch '{from_branch}' not found")
+    spark = nodes.sparkSession
+    sections = json.loads(base["body"]).get("sections", {})
+    row = _prompt_node_rows(spark, slug, new_branch, 1, sections, author, now)
+    node_id = row.first()["node_id"]
+    e = _manual_edge(spark, node_id, base["node_id"], "branched_from", author, now)
+    return (
+        nodes.unionByName(row.select(*nodes.columns)),
+        edges.unionByName(e.select(*edges.columns)),
+        node_id,
+    )

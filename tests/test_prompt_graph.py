@@ -176,3 +176,32 @@ def test_rollback_requires_previous_version(spark, nodes_df_factory, edges_df_fa
     edges = edges_df_factory([])
     with pytest.raises(ValueError, match="no previous version"):
         execute_rollback(nodes, edges, "solo", "main", "x", datetime(2026, 2, 1))
+
+
+def test_create_prompt_version_branch_lifecycle(spark, nodes_df_factory, edges_df_factory):
+    from cortex_spark.prompt_graph import (
+        create_branch, create_prompt, create_version, heads, list_versions, resolve_prompt,
+    )
+
+    nodes = nodes_df_factory([])
+    edges = edges_df_factory([])
+    t = datetime(2026, 1, 1)
+    nodes, edges, v1 = create_prompt(nodes, edges, "writer", {"intro": "v1"}, "kai", t)
+    with pytest.raises(ValueError, match="already exists"):
+        create_prompt(nodes, edges, "writer", {}, "kai", t)
+    nodes, edges, v2 = create_version(nodes, edges, "writer", {"intro": "v2"}, "kai", datetime(2026, 1, 2))
+    nodes, edges, d1 = create_branch(nodes, edges, "writer", "main", "dev", "kai", datetime(2026, 1, 3))
+
+    h = {(r["slug"], r["branch"]): r["version"] for r in heads(nodes, edges).collect()}
+    assert h[("writer", "main")] == 2 and h[("writer", "dev")] == 1
+    hist = list_versions(nodes, edges, "writer", "main").collect()
+    assert [(r["version"], r["is_head"]) for r in hist] == [(1, False), (2, True)]
+    # branch inherits the base content; supersedes edge is Manual provenance
+    assert resolve_prompt(nodes, edges, "writer", "dev")["content"] == {"intro": "v2"}
+    sup = edges.filter("relation = 'supersedes'").first()
+    assert sup["src"] == v2 and sup["provenance"]["ptype"] == "manual"
+    assert edges.filter("relation = 'branched_from'").first()["src"] == d1
+    with pytest.raises(ValueError, match="not found"):
+        create_version(nodes, edges, "ghost", {}, "kai", t)
+    with pytest.raises(ValueError, match="Version 9"):
+        create_branch(nodes, edges, "writer", "main", "x", "kai", t, base_version=9)
