@@ -157,3 +157,52 @@ def test_incremental_cycle(spark, tmp_path, nodes_df_factory, edges_df_factory):
     cfg2 = LinkerConfig(auto_link_threshold=0.8, contradiction_threshold=0.8)
     _, m3 = run_cycle(nodes, edges2, meta, config=cfg2, now=datetime(2026, 1, 1, 14))
     assert m3["nodes_processed"] == 3
+
+
+def test_stream_autolink_end_to_end(spark, tmp_path):
+    """Event stream → nodes → incremental link cycles with the persisted
+    LSH index; second availableNow run processes only the new file."""
+    import json
+
+    from cortex_spark.streaming.autolink import stream_autolink
+
+    src = tmp_path / "events"
+    out = tmp_path / "kg"
+    src.mkdir()
+
+    def ev(i, ts):
+        return json.dumps(
+            {"type": "evidence.submitted", "item_id": f"item{i % 2}",
+             "evidence_id": f"ev{i}", "content": f"shared evidence payload number {i}",
+             "submitted_by": "kai", "ts": ts}
+        )
+
+    (src / "b1.jsonl").write_text(
+        "\n".join(ev(i, f"2026-01-02 0{i}:00:00") for i in range(4)) + "\n"
+    )
+    q = stream_autolink(spark, str(src), str(out), embed_dim=32)
+    q.awaitTermination(120)
+
+    nodes1 = spark.read.parquet(str(out / "nodes")).count()
+    edges1 = spark.read.parquet(str(out / "edges")).count()
+    meta1 = json.load(open(out / "linker_meta.json"))
+    assert nodes1 == 4 and edges1 > 0 and meta1["cycle"] == 1
+
+    # second batch: later events, one more file; stream checkpoint must
+    # process ONLY the new file and advance the cursor
+    (src / "b2.jsonl").write_text(
+        "\n".join(ev(10 + i, f"2026-01-02 1{i}:00:00") for i in range(2)) + "\n"
+    )
+    q2 = stream_autolink(spark, str(src), str(out), embed_dim=32)
+    q2.awaitTermination(120)
+
+    nodes2 = spark.read.parquet(str(out / "nodes")).count()
+    edges2 = spark.read.parquet(str(out / "edges")).count()
+    meta2 = json.load(open(out / "linker_meta.json"))
+    assert nodes2 == 6  # 4 + 2, no duplicates from re-processing b1
+    assert edges2 > edges1
+    assert meta2["cycle"] == 2
+    assert meta2["cursor"] > meta1["cursor"]
+    # cycle 2 signed only the 2 fresh nodes (index meta appends)
+    idx_meta = json.load(open(out / "lsh_index" / "_index_meta.json"))
+    assert idx_meta["appends"][-1] == 2
