@@ -97,17 +97,20 @@ def resolve_prompt(nodes: DataFrame, edges: DataFrame, slug: str, branch: str = 
     if head_row is None:
         return None
     # walk the inheritance chain driver-side (chains are a handful of nodes,
-    # exactly like the reference's sequential resolver)
+    # exactly like the reference's sequential resolver); max 10 hops past the
+    # head + cycle guard (resolver.rs:93-112)
     inh = {
         r["src"]: r["dst"]
         for r in edges.filter(F.col("relation") == "inherits_from").select("src", "dst").collect()
     }
     bodies = {r["node_id"]: r["body"] for r in prompt_cols(nodes).select("node_id", "body").collect()}
-    chain, seen, cur = [], set(), head_row["node_id"]
-    while cur is not None and cur not in seen and cur in bodies:
+    chain, seen, cur = [head_row["node_id"]], {head_row["node_id"]}, head_row["node_id"]
+    for _ in range(10):
+        cur = inh.get(cur)
+        if cur is None or cur in seen or cur not in bodies:
+            break
         seen.add(cur)
         chain.append(cur)
-        cur = inh.get(cur)
     merged: dict = {}
     lineage: list[str] = []
     for nid in reversed(chain):  # ancestors first; descendants override
@@ -115,11 +118,15 @@ def resolve_prompt(nodes: DataFrame, edges: DataFrame, slug: str, branch: str = 
         lineage.append(b.get("slug", ""))
         merged.update(b.get("sections", {}))
         merged.update(b.get("override_sections", {}))
-    skills = [
+    # skills are reported by their body SLUG, not node id (resolver.rs:138-152)
+    skill_ids = {
         r["src"]
         for r in edges.filter((F.col("relation") == "used_by") & (F.col("dst") == head_row["node_id"]))
         .select("src")
         .collect()
+    }
+    skills = [
+        json.loads(bodies[sid]).get("slug", "") for sid in skill_ids if sid in bodies
     ]
     return {
         "node_id": head_row["node_id"],
