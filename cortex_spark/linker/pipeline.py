@@ -53,6 +53,20 @@ def _attach_attrs(ordered_pairs: DataFrame, nodes: DataFrame, include_body: bool
     return ordered_pairs.join(a, "a_id").join(b, "b_id")
 
 
+PROPOSAL_VALUE_COLS = ["weight", "ptype", "detail", "pscore", "priority", "score"]
+
+
+def first_rule_wins(proposed: DataFrame) -> DataFrame:
+    """Lowest-priority proposal per (src, dst, relation) via min_by hash-agg
+    (J11 proposal-order semantics, redb_storage.rs:812-827). Equivalent to a
+    row_number-over-priority window but with map-side partial aggregation —
+    at 10^10 proposals the combine happens before the shuffle."""
+    picked = proposed.groupBy("src", "dst", "relation").agg(
+        F.min_by(F.struct(*PROPOSAL_VALUE_COLS), F.col("priority")).alias("p")
+    )
+    return picked.select("src", "dst", "relation", *[F.col(f"p.{c}").alias(c) for c in PROPOSAL_VALUE_COLS])
+
+
 def symmetrize(pairs: DataFrame) -> DataFrame:
     """Canonical (a<b) pairs → both orientations (each node scans neighbors,
     auto_linker.rs:215-243)."""
@@ -119,17 +133,16 @@ def link_nodes(
             existing_edges.select("src", "dst", "relation"), ["src", "dst", "relation"], "left_anti"
         )
 
-    # first rule wins per (src, dst, relation) — proposal order semantics
-    w_dup = Window.partitionBy("src", "dst", "relation").orderBy("priority")
+    # first rule wins per (src, dst, relation) — proposal order semantics.
+    # Hash-aggregate min_by instead of a row_number window: partial (map-side)
+    # aggregation shrinks the shuffle and skips the sort; priorities are
+    # unique per rule so the pick is deterministic.
+    deduped = first_rule_wins(proposed)
     # per-node cap in candidate-score order (auto_linker.rs:259-264); tie-break
     # (dst, priority) makes the distributed order deterministic (SURVEY §7).
     w_cap = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"), F.asc("priority"))
-
     deduped = (
-        proposed.withColumn("rn", F.row_number().over(w_dup))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-        .withColumn("cap_rn", F.row_number().over(w_cap))
+        deduped.withColumn("cap_rn", F.row_number().over(w_cap))
         .filter(F.col("cap_rn") <= cfg.max_edges_per_node)
         .drop("cap_rn")
     )

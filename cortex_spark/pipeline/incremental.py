@@ -124,10 +124,11 @@ def run_cycle(
     proposed = proposed.join(
         existing_edges.select("src", "dst", "relation"), ["src", "dst", "relation"], "left_anti"
     )
-    w_dup = Window.partitionBy("src", "dst", "relation").orderBy("priority")
+    from cortex_spark.linker.pipeline import first_rule_wins
+
     w_cap = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"), F.asc("priority"))
     capped = (
-        proposed.withColumn("rn", F.row_number().over(w_dup)).filter("rn = 1").drop("rn")
+        first_rule_wins(proposed)
         .withColumn("cap_rn", F.row_number().over(w_cap))
         .filter(F.col("cap_rn") <= cfg.max_edges_per_node)
         .drop("cap_rn")
