@@ -753,11 +753,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + near-pairs over documents (rows-only: the
-    64-bit blake2b hashing is not expressible in SQL)."""
-    from cortex_spark.dataops.dedup import simhash_pairs
+    """SimHash near-pairs over documents via the native md5 bit-majority
+    kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
+    chunk equal, exact Hamming rescore ≤ 16. Fully SQL-expressible, so this
+    is oracle-checked end to end (the blake2b pandas-UDF variant stays as
+    the §2.12 kernel demo, pytest-verified)."""
+    from cortex_spark.dataops.dedup import simhash_pairs_native
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+    return simhash_pairs_native(_docs(spark, sf_dir), max_hamming=16)
 
 
 def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,6 +867,37 @@ _SHINGLES_SQL = """
         for i in range(1, greatest(len(toks) - 2, 1) + 1)
     ]))
 """
+
+
+def _simhash_sql(seed: int = 11, max_hamming: int = 16) -> str:
+    """DuckDB mirror of dataops/dedup.py:simhash_pairs_native — same md5
+    token hash, same 64 bit-majority sums, same chunk join + Hamming rescore."""
+    sums = ", ".join(
+        f"SUM(CASE WHEN ({'h_lo' if b < 32 else 'h_hi'} >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    chunks = ", ".join(
+        "("
+        + " + ".join(f"(CASE WHEN s{16 * c + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    fc_rows = " UNION ALL ".join(
+        f"SELECT doc_id, c0, c1, c2, c3, {c} AS chunk_idx, c{c} AS chunk FROM f" for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(CAST(a.c{c} AS BIGINT), CAST(b.c{c} AS BIGINT)))" for c in range(4))
+    return (
+        "WITH tok AS (SELECT doc_id, t AS tok FROM "
+        "(SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t FROM documents) WHERE t <> ''), "
+        f"h AS (SELECT doc_id, ('0x' || substr(md5('{seed}|' || tok), 1, 8))::BIGINT AS h_hi, "
+        f"('0x' || substr(md5('{seed}|' || tok), 9, 8))::BIGINT AS h_lo FROM tok), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id), "
+        f"f AS (SELECT doc_id, {chunks} FROM s), "
+        f"fc AS ({fc_rows}), "
+        f"p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, CAST({ham} AS BIGINT) AS hamming "
+        "FROM fc a JOIN fc b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+        f"SELECT a_id, b_id, hamming FROM p WHERE hamming <= {max_hamming}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1016,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(0.7 * ((vec_id % 100) / 100.0) + 0.3 * ((label + 1.0) / 10.0), 6) AS combined "
             "FROM embeddings ORDER BY combined DESC, vec_id ASC LIMIT 50"
         ),
+        "simhash": _simhash_sql(seed=11, max_hamming=16),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("

@@ -7,9 +7,11 @@ Five families, each sized for 10^12-document corpora:
 - MinHash + banded LSH: shingle → k min-hashes → bands → bucket join.
   Hash = md5 hex strings (identical in Spark and DuckDB ⇒ SQL-oracle-able);
   min over strings = min-hash. Native exprs, no Python.
-- SimHash: 64-bit bit-majority fingerprint (Arrow pandas UDF, numpy-packed);
-  near-dups = pairs within Hamming distance d via band-exact match on
-  4×16-bit chunks (any chunk equal ⇒ candidate, exact Hamming rescored).
+- SimHash: 64-bit bit-majority fingerprint; near-dups = pairs within
+  Hamming distance d via band-exact match on 4×16-bit chunks (any chunk
+  equal ⇒ candidate, exact Hamming rescored). Two kernels: a blake2b
+  Arrow pandas UDF (reference-style), and a pure native-expression md5
+  variant (whole-stage codegen, SQL-oracle-able — the scale path).
 - n-gram Jaccard: exact Jaccard over token 3-gram sets, evaluated on
   LSH-candidate pairs only (never all-pairs).
 - embedding cosine near-dup: candidate pairs from random-hyperplane LSH,
@@ -153,6 +155,89 @@ def simhash_pairs(
     a = chunks.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk_idx", "chunk")
     b = chunks.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk_idx", "chunk")
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def simhash_chunks_native(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """64-bit SimHash as 4×16-bit chunk columns (c0..c3), pure native
+    expressions — no Python in the path, one shuffle (the groupBy).
+
+    Token hash = first 16 hex chars of md5("<seed>|" + token), split into
+    two 32-bit halves so every value fits a signed long; bit b of the
+    64-bit hash comes from h_lo (b<32) or h_hi (b≥32). Bit-majority over
+    token occurrences (+1/-1, ties → 0) per the classic Charikar scheme.
+    md5 is identical in every engine, so the whole kernel has an exact
+    DuckDB oracle (cf. reference fingerprinting in cortex-core; engine
+    choice here is Spark-first: explode → 64 codegen'd SUMs).
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("tok")))
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    sums = []
+    for b in range(64):
+        src = F.col("h_lo") if b < 32 else F.col("h_hi")
+        bit = F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bit * 2 - F.lit(1)).alias(f"s{b}"))
+    agg = ex.groupBy("doc_id").agg(*sums)
+    chunk_cols = []
+    for c in range(4):
+        chunk = F.lit(0).cast("long")
+        for j in range(16):
+            chunk = chunk + (F.col(f"s{16 * c + j}") > 0).cast("long") * F.lit(1 << j)
+        chunk_cols.append(chunk.alias(f"c{c}"))
+    return agg.select("doc_id", *chunk_cols)
+
+
+def simhash_pairs_native(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-dup pairs from the native md5 SimHash: candidates = any of the
+    4 16-bit chunks equal (pigeonhole-complete for Hamming ≤ 3), exact
+    Hamming rescoring over all 4 chunks. Never all-pairs."""
+    f = simhash_chunks_native(df, text_col, id_col, seed)
+    chunks = f.select(
+        "doc_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"c{c}").alias(f"a_c{c}") for c in range(4)],
+        "chunk_idx",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"c{c}").alias(f"b_c{c}") for c in range(4)],
+        "chunk_idx",
+        "chunk",
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a_c{c}").bitwiseXOR(F.col(f"b_c{c}"))) for c in range(4)
+    ).cast("long")
     return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))

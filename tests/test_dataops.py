@@ -73,6 +73,62 @@ def test_simhash_near_pairs(spark):
     assert not any(2 in p for p in got)
 
 
+def test_simhash_native_matches_python_reference(spark, docs):
+    """The native md5 SimHash kernel reproduces a hand-rolled hashlib
+    implementation bit-for-bit (fingerprint chunks AND near-pairs)."""
+    import hashlib
+    import re
+
+    from cortex_spark.dataops.dedup import simhash_chunks_native, simhash_pairs_native
+
+    sample = docs.limit(80).cache()
+
+    def ref_chunks(text):
+        toks = [t for t in re.split(r"\s+", (text or "").lower()) if t]
+        if not toks:
+            return None
+        acc = [0] * 64
+        for tok in toks:
+            hx = hashlib.md5(f"11|{tok}".encode()).hexdigest()
+            h_hi, h_lo = int(hx[:8], 16), int(hx[8:16], 16)
+            for b in range(64):
+                acc[b] += 1 if ((h_lo if b < 32 else h_hi) >> (b % 32)) & 1 else -1
+        out = []
+        for c in range(4):
+            v = 0
+            for j in range(16):
+                if acc[16 * c + j] > 0:
+                    v |= 1 << j
+            out.append(v)
+        return tuple(out)
+
+    expected = {
+        r["doc_id"]: ref_chunks(r["text"])
+        for r in sample.select("doc_id", "text").collect()
+        if ref_chunks(r["text"]) is not None
+    }
+    got = {
+        r["doc_id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in simhash_chunks_native(sample).collect()
+    }
+    assert got == expected
+
+    fp = expected
+    ids = sorted(fp)
+    want_pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if any(fp[a][c] == fp[b][c] for c in range(4)):
+                ham = sum(bin(fp[a][c] ^ fp[b][c]).count("1") for c in range(4))
+                if ham <= 16:
+                    want_pairs[(a, b)] = ham
+    got_pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_pairs_native(sample, max_hamming=16).collect()
+    }
+    assert got_pairs == want_pairs
+
+
 def test_embedding_neardup_bruteforce_vs_lsh(spark):
     rng = np.random.default_rng(5)
     base = rng.standard_normal(32)
