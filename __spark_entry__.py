@@ -792,6 +792,55 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full legacy rule cascade (J2 similarity, J3 same-agent, J4
+    temporal, J5 shared-tags, J6 decision→event, J7 obs→pattern, J8
+    fact-supersedes, J10 contradiction) through the REAL apply_link_rules
+    (linker/rules.py) over a deterministic pair fixture: nodes derived from
+    documents (kind = the real classifier, tags = first-4 title tokens,
+    synthetic sessions/timestamps from doc_id), pairs = id-delta ≤ 3,
+    score = ((37·a + 61·b) mod 1000)/1000. Every emitted slot is checked
+    (relation, weight incl. float32 cast, ptype, detail, priority)."""
+    from cortex_spark.extract.classify import classify_col
+    from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
+
+    d = _docs(spark, sf_dir)
+    title = F.substring(F.col("text"), 1, 60)
+    toks = F.filter(F.split(F.lower(title), r"\s+"), lambda t: t != "")
+    nodes = d.select(
+        F.col("doc_id").alias("id"),
+        classify_col(F.col("text")).alias("kind"),
+        title.alias("title"),
+        F.col("text").alias("body"),
+        F.array_distinct(F.slice(toks, 1, 4)).alias("tags"),
+        F.col("source").alias("source_agent"),
+        F.concat_ws(":", F.col("source"), (F.col("doc_id") % 7).cast("string")).alias(
+            "source_session"
+        ),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("doc_id") % 997) * 60).alias("created_at"),
+    )
+    a = nodes.select([F.col(c).alias(f"a_{c}") for c in nodes.columns])
+    b = nodes.select([F.col(c).alias(f"b_{c}") for c in nodes.columns])
+    pairs = (
+        a.select("*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("delta"))
+        .withColumn("b_join_id", F.col("a_id") + F.col("delta"))
+        .join(b, F.col("b_join_id") == F.col("b_id"))
+        .withColumn("score", ((F.col("a_id") * 37 + F.col("b_id") * 61) % 1000) / F.lit(1000.0))
+    )
+    edges = apply_link_rules(pairs, LinkerConfig())
+    return edges.select(
+        "src",
+        "dst",
+        "relation",
+        F.round(F.col("weight").cast("double"), 6).alias("weight"),
+        "ptype",
+        F.coalesce("detail", F.lit("")).alias("detail"),
+        F.round(F.coalesce(F.col("pscore").cast("double"), F.lit(-1.0)), 6).alias("pscore"),
+        "priority",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -809,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "decision_to_event": q_decision_to_event,
         "temporal_pairs": q_temporal_pairs,
+        "rule_cascade": q_rule_cascade,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -897,6 +947,60 @@ def _simhash_sql(seed: int = 11, max_hamming: int = 16) -> str:
         f"p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, CAST({ham} AS BIGINT) AS hamming "
         "FROM fc a JOIN fc b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
         f"SELECT a_id, b_id, hamming FROM p WHERE hamming <= {max_hamming}"
+    )
+
+
+def _rule_cascade_sql() -> str:
+    """DuckDB mirror of q_rule_cascade: same fixture arithmetic, same 8
+    slot conditions/weights/priorities as linker/rules.py:apply_link_rules
+    with the default LinkerConfig (thresholds 0.75/0.80, window 1800 s,
+    min shared tags 2, obs-pattern 0.7, title Jaccard 0.9)."""
+    neg_terms = ["not", "never", "no longer", "stopped", "removed", "deprecated", "replaced", "obsolete"]
+
+    def neg(side: str) -> str:
+        return "(" + " OR ".join(f"contains({side}_negtext, '{w}')" for w in neg_terms) + ")"
+
+    wordset = "list_distinct(list_filter(regexp_split_to_array(lower({t}), '\\s+'), w -> w <> ''))"
+    wa, wb = wordset.format(t="a_title"), wordset.format(t="b_title")
+    jac = (
+        f"(CASE WHEN len({wa}) = 0 AND len({wb}) = 0 THEN 1.0 "
+        f"WHEN len({wa}) = 0 OR len({wb}) = 0 THEN 0.0 "
+        f"ELSE len(list_intersect({wa}, {wb})) * 1.0 / len(list_distinct(list_concat({wa}, {wb}))) END)"
+    )
+    slots = [
+        ("score >= 0.75", "'related_to'", "score", "'auto_similarity'", "''", "round(score, 6)", 0),
+        ("a_agent = b_agent", "'related_to'", "0.3", "'auto_structural'", "'same_agent'", "-1.0", 1),
+        ("abs(a_secs - b_secs) <= 1800", "'related_to'", "0.4", "'auto_structural'", "'temporal_proximity'", "-1.0", 2),
+        ("shared >= 2", "'related_to'", "least(0.5 * (1.0 + (shared - 2) * 0.1), 1.0)", "'auto_structural'", "'shared_tags'", "-1.0", 3),
+        ("a_kind = 'decision' AND b_kind = 'event' AND a_sess = b_sess AND a_secs < b_secs", "'led_to'", "0.6", "'auto_structural'", "'decision_to_event'", "-1.0", 4),
+        ("a_kind = 'observation' AND b_kind = 'pattern' AND score >= 0.7", "'instance_of'", "0.7", "'auto_structural'", "'observation_to_pattern'", "-1.0", 5),
+        (f"a_kind = 'fact' AND b_kind = 'fact' AND a_secs > b_secs AND {jac} >= 0.9", "'supersedes'", "0.9", "'auto_structural'", "'fact_supersedes'", "-1.0", 6),
+        ("score >= 0.80 AND a_neg <> b_neg", "'contradicts'", "score", "'auto_contradiction'", "'Negation pattern detected'", "-1.0", 100),
+    ]
+    unions = " UNION ALL ".join(
+        f"SELECT a_id AS src, b_id AS dst, {rel} AS relation, "
+        f"round(CAST(CAST({w} AS FLOAT) AS DOUBLE), 6) AS weight, {pt} AS ptype, "
+        f"{det} AS detail, {ps} AS pscore, {pri} AS priority, round(score, 6) AS score "
+        f"FROM feat WHERE {cond}"
+        for cond, rel, w, pt, det, ps, pri in slots
+    )
+    return (
+        "WITH n AS (SELECT doc_id AS id, "
+        f"{_CLASSIFY_SQL_CASE} AS kind, "
+        "substr(text, 1, 60) AS title, "
+        "list_distinct(list_filter(regexp_split_to_array(lower(substr(text, 1, 60)), '\\s+'), t -> t <> '')[1:4]) AS tags, "
+        "source AS agent, source || ':' || CAST(doc_id % 7 AS VARCHAR) AS sess, "
+        "1700000000 + (doc_id % 997) * 60 AS secs, "
+        "lower(substr(text, 1, 60) || ' ' || text) AS negtext FROM documents), "
+        "p AS (SELECT a.id AS a_id, b.id AS b_id, a.kind AS a_kind, b.kind AS b_kind, "
+        "a.title AS a_title, b.title AS b_title, a.tags AS a_tags, b.tags AS b_tags, "
+        "a.agent AS a_agent, b.agent AS b_agent, a.sess AS a_sess, b.sess AS b_sess, "
+        "a.secs AS a_secs, b.secs AS b_secs, a.negtext AS a_negtext, b.negtext AS b_negtext, "
+        "((a.id * 37 + b.id * 61) % 1000) / 1000.0 AS score "
+        "FROM n a CROSS JOIN (SELECT unnest([1, 2, 3]) AS delta) d JOIN n b ON b.id = a.id + d.delta), "
+        "feat AS (SELECT *, len(list_intersect(a_tags, b_tags)) AS shared, "
+        f"{neg('a')} AS a_neg, {neg('b')} AS b_neg FROM p) "
+        + unions
     )
 
 
@@ -1051,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings ORDER BY combined DESC, vec_id ASC LIMIT 50"
         ),
         "simhash": _simhash_sql(seed=11, max_hamming=16),
+        "rule_cascade": _rule_cascade_sql(),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
