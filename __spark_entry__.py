@@ -841,6 +841,82 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 ConfigRule engine through the REAL apply_link_rules: ten rules —
+    one per condition type (always+kind filters, min_similarity,
+    shared_tags, same_agent, temporal_proximity, newer_than,
+    body_field_contains, body_field_ref title-match, body_field_ref
+    json-field-match, negation_detected) — plus one bidirectional rule,
+    over an arithmetic fixture (titles/tags/agents/timestamps/JSON bodies
+    all deterministic in doc_id), so every predicate incl. the real
+    get_json_object parsing is oracle-checkable. The body_field_ref
+    match_field='id' branch is pytest-covered (string/long comparison has
+    no portable SQL mirror)."""
+    from cortex_spark.linker.rules import ConfigRule, LinkerConfig, apply_link_rules
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    title = F.concat(F.lit("T"), s(id_ % 50))
+    memo = F.concat(
+        F.lit("see T"), s((id_ + 1) % 50), F.lit(" here"),
+        F.when(id_ % 4 == 0, F.lit(" not")).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.lit('{"ref":"T'), s((id_ + 2) % 50),
+        F.lit('","grp":"G'), s(id_ % 9),
+        F.lit('","grp2":"G'), s((id_ - 1) % 9),
+        F.lit('","memo":"'), memo, F.lit('"}'),
+    )
+    kinds = F.array(*[F.lit(k) for k in ("fact", "event", "observation", "pattern", "decision", "goal")])
+    nodes = d.select(
+        id_.alias("id"),
+        F.element_at(kinds, (id_ % 6 + 1).cast("int")).alias("kind"),
+        title.alias("title"),
+        body.alias("body"),
+        F.array(
+            F.concat(F.lit("k:t"), s((id_ + 3) % 50)),
+            F.concat(F.lit("g"), s(id_ % 4)),
+            F.concat(F.lit("h"), s(id_ % 3)),
+        ).alias("tags"),
+        F.concat(F.lit("agent"), s(id_ % 2)).alias("source_agent"),
+        F.concat(F.lit("sess"), s(id_ % 7)).alias("source_session"),
+        F.timestamp_seconds(F.lit(1700000000) + (id_ % 300) * 60).alias("created_at"),
+    )
+    a = nodes.select([F.col(c).alias(f"a_{c}") for c in nodes.columns])
+    b = nodes.select([F.col(c).alias(f"b_{c}") for c in nodes.columns])
+    pairs = (
+        a.select("*", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("delta"))
+        .withColumn("b_join_id", F.col("a_id") + F.col("delta"))
+        .join(b, F.col("b_join_id") == F.col("b_id"))
+        .withColumn("score", ((F.col("a_id") * 37 + F.col("b_id") * 61) % 1000) / F.lit(1000.0))
+    )
+    rules = [
+        ConfigRule("fact_event", "relates", from_kind="fact", to_kind="event", condition="always", weight=0.45),
+        ConfigRule("sim06", "similar_to", condition="min_similarity", threshold=0.6, weight_is_score=True),
+        ConfigRule("shared1", "shares_tag", condition="shared_tags", min_shared=1, weight=0.5),
+        ConfigRule("same_actor", "same_actor", condition="same_agent", weight=0.35),
+        ConfigRule("near45", "near_in_time", condition="temporal_proximity", window_minutes=45, weight=0.55),
+        ConfigRule("newer", "updates", condition="newer_than", weight=0.65),
+        ConfigRule("memo_mentions", "mentions", condition="body_field_contains", field="memo", weight=0.7),
+        ConfigRule("ref_title", "references", condition="body_field_ref", field="ref", match_field="title", weight=0.9, bidirectional=True),
+        ConfigRule("grp_ref", "same_group", condition="body_field_ref", field="grp", match_field="grp2", weight=0.6),
+        ConfigRule("negdet", "conflicts", condition="negation_detected", weight=0.75),
+    ]
+    edges = apply_link_rules(pairs, LinkerConfig(config_rules=rules))
+    return edges.select(
+        "src",
+        "dst",
+        "relation",
+        F.round(F.col("weight").cast("double"), 6).alias("weight"),
+        "ptype",
+        F.coalesce("detail", F.lit("")).alias("detail"),
+        F.round(F.coalesce(F.col("pscore").cast("double"), F.lit(-1.0)), 6).alias("pscore"),
+        "priority",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -859,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_to_event": q_decision_to_event,
         "temporal_pairs": q_temporal_pairs,
         "rule_cascade": q_rule_cascade,
+        "config_rules": q_config_rules,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1001,6 +1078,68 @@ def _rule_cascade_sql() -> str:
         "feat AS (SELECT *, len(list_intersect(a_tags, b_tags)) AS shared, "
         f"{neg('a')} AS a_neg, {neg('b')} AS b_neg FROM p) "
         + unions
+    )
+
+
+def _config_rules_sql() -> str:
+    """DuckDB mirror of q_config_rules: the fixture is arithmetic in doc_id,
+    so every ConfigRule predicate (incl. the JSON-body references, which the
+    Spark side parses with real get_json_object) reduces to closed-form
+    conditions; contains() quirks are mirrored literally."""
+    neg_terms = ["not", "never", "no longer", "stopped", "removed", "deprecated", "replaced", "obsolete"]
+
+    def neg(side: str) -> str:
+        return "(" + " OR ".join(f"contains({side}_negtext, '{w}')" for w in neg_terms) + ")"
+
+    st = "'auto_structural'"
+    slots = [
+        ("score >= 0.75", "'related_to'", "score", "'auto_similarity'", "''", "round(score, 6)", 0),
+        ("a_id % 6 = 0 AND b_id % 6 = 1", "'relates'", "0.45", st, "'fact_event'", "-1.0", 10),
+        ("score >= 0.6", "'similar_to'", "score", st, "'sim06'", "-1.0", 11),
+        ("shared >= 1", "'shares_tag'", "0.5", st, "'shared1'", "-1.0", 12),
+        ("a_id % 2 = b_id % 2", "'same_actor'", "0.35", st, "'same_actor'", "-1.0", 13),
+        ("abs(a_id % 300 - b_id % 300) * 60 <= 2700", "'near_in_time'", "0.55", st, "'near45'", "-1.0", 14),
+        ("a_id % 300 > b_id % 300", "'updates'", "0.65", st, "'newer'", "-1.0", 15),
+        ("contains(a_memo, 'T' || CAST(b_id % 50 AS VARCHAR))", "'mentions'", "0.7", st, "'memo_mentions'", "-1.0", 16),
+        ("(a_id + 2) % 50 = b_id % 50", "'references'", "0.9", st, "'ref_title'", "-1.0", 17),
+        ("a_id % 9 = (b_id - 1) % 9", "'same_group'", "0.6", st, "'grp_ref'", "-1.0", 18),
+        (f"{neg('a')} <> {neg('b')}", "'conflicts'", "0.75", st, "'negdet'", "-1.0", 19),
+        (f"score >= 0.80 AND {neg('a')} <> {neg('b')}", "'contradicts'", "score", "'auto_contradiction'", "'Negation pattern detected'", "-1.0", 100),
+    ]
+    unions = " UNION ALL ".join(
+        f"SELECT a_id AS src, b_id AS dst, {rel} AS relation, "
+        f"round(CAST(CAST({w} AS FLOAT) AS DOUBLE), 6) AS weight, {pt} AS ptype, "
+        f"{det} AS detail, {ps} AS pscore, {pri} AS priority, round(score, 6) AS score "
+        f"FROM feat WHERE {cond}"
+        for cond, rel, w, pt, det, ps, pri in slots
+    )
+    memo = (
+        "'see T' || CAST(({id} + 1) % 50 AS VARCHAR) || ' here' || "
+        "CASE WHEN {id} % 4 = 0 THEN ' not' ELSE '' END"
+    )
+    body = (
+        "'{{\"ref\":\"T' || CAST(({id} + 2) % 50 AS VARCHAR) || "
+        "'\",\"grp\":\"G' || CAST({id} % 9 AS VARCHAR) || "
+        "'\",\"grp2\":\"G' || CAST(({id} - 1) % 9 AS VARCHAR) || "
+        "'\",\"memo\":\"' || " + memo + " || '\"}}'"
+    )
+    negtext = "lower('T' || CAST({id} % 50 AS VARCHAR) || ' ' || " + body + ")"
+    return (
+        "WITH p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "((a.doc_id * 37 + b.doc_id * 61) % 1000) / 1000.0 AS score "
+        "FROM documents a CROSS JOIN (SELECT unnest([1, 2, 3]) AS delta) d "
+        "JOIN documents b ON b.doc_id = a.doc_id + d.delta), "
+        "feat AS (SELECT a_id, b_id, score, "
+        + memo.format(id="a_id") + " AS a_memo, "
+        + negtext.format(id="a_id") + " AS a_negtext, "
+        + negtext.format(id="b_id") + " AS b_negtext, "
+        "(CASE WHEN (a_id + 3) % 50 = (b_id + 3) % 50 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN a_id % 4 = b_id % 4 THEN 1 ELSE 0 END) + "
+        "(CASE WHEN a_id % 3 = b_id % 3 THEN 1 ELSE 0 END) AS shared FROM p), "
+        f"base AS ({unions}) "
+        "SELECT * FROM base UNION ALL "
+        "SELECT dst AS src, src AS dst, relation, weight, ptype, detail, pscore, priority, score "
+        "FROM base WHERE detail = 'ref_title'"
     )
 
 
@@ -1156,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": _simhash_sql(seed=11, max_hamming=16),
         "rule_cascade": _rule_cascade_sql(),
+        "config_rules": _config_rules_sql(),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
