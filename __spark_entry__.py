@@ -801,8 +801,14 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic sessions/timestamps from doc_id), pairs = id-delta ≤ 3,
     score = ((37·a + 61·b) mod 1000)/1000. Every emitted slot is checked
     (relation, weight incl. float32 cast, ptype, detail, priority)."""
-    from cortex_spark.extract.classify import classify_col
     from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
+
+    edges = apply_link_rules(_cascade_pairs(spark, sf_dir), LinkerConfig())
+    return _proposal_out(edges)
+
+
+def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cortex_spark.extract.classify import classify_col
 
     d = _docs(spark, sf_dir)
     title = F.substring(F.col("text"), 1, 60)
@@ -827,7 +833,10 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("b_join_id") == F.col("b_id"))
         .withColumn("score", ((F.col("a_id") * 37 + F.col("b_id") * 61) % 1000) / F.lit(1000.0))
     )
-    edges = apply_link_rules(pairs, LinkerConfig())
+    return pairs
+
+
+def _proposal_out(edges: DataFrame) -> DataFrame:
     return edges.select(
         "src",
         "dst",
@@ -839,6 +848,26 @@ def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.round("score", 6).alias("score"),
     )
+
+
+def q_first_rule_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 duplicate-edge anti-join + first-rule-wins through the REAL
+    pipeline functions (linker/pipeline.py): cascade proposals minus a
+    synthetic existing-edge set ((src+dst) mod 5 = 0, related_to), then the
+    min_by(priority) hash-aggregate picks one winner per (src, dst,
+    relation). Oracle = row_number-over-priority window on the cascade SQL."""
+    from cortex_spark.linker.pipeline import first_rule_wins
+    from cortex_spark.linker.rules import LinkerConfig, apply_link_rules
+
+    pairs = _cascade_pairs(spark, sf_dir)
+    proposed = apply_link_rules(pairs, LinkerConfig())
+    existing = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .filter((F.col("src") + F.col("dst")) % 5 == 0)
+        .withColumn("relation", F.lit("related_to"))
+    )
+    filtered = proposed.join(existing, ["src", "dst", "relation"], "left_anti")
+    return _proposal_out(first_rule_wins(filtered))
 
 
 def q_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,6 +946,50 @@ def q_config_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 dedup tie-break precedence (dedup.rs:130-177) through the REAL
+    dedup_actions + degree aggregate: connections (>2× rule) → importance
+    gap (>0.3) → supersede (≥0.98, newer keeps) → link. Fixture is
+    arithmetic in doc_id: importance (13·id mod 100)/100, timestamps from
+    id mod 400, a synthetic 173-node edge graph for degrees, pair scores
+    0.9 + ((7a+11b) mod 100)/1000 straddling the 0.98 boundary."""
+    from cortex_spark.canon.dedup import dedup_actions
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    nodes = d.select(
+        F.concat(F.lit("d"), s(id_)).alias("node_id"),
+        (((id_ * 13) % 100) / F.lit(100.0)).alias("importance"),
+        F.timestamp_seconds(F.lit(1700000000) + (id_ % 400) * 60).alias("created_at"),
+    )
+    edges = d.select(
+        F.concat(F.lit("d"), s(id_ % 173)).alias("src"),
+        F.concat(F.lit("d"), s((id_ * 5) % 173)).alias("dst"),
+    )
+    a = d.select(F.col("doc_id").alias("ai"))
+    b = d.select(F.col("doc_id").alias("bi"))
+    pairs = (
+        a.select("*", F.explode(F.array(F.lit(1), F.lit(2))).alias("delta"))
+        .withColumn("bj", F.col("ai") + F.col("delta"))
+        .join(b, F.col("bj") == F.col("bi"))
+        .select(
+            F.concat(F.lit("d"), s(F.col("ai"))).alias("a_id"),
+            F.concat(F.lit("d"), s(F.col("bi"))).alias("b_id"),
+            (F.lit(0.9) + ((F.col("ai") * 7 + F.col("bi") * 11) % 100) / F.lit(1000.0)).alias("score"),
+        )
+    )
+    acts = dedup_actions(pairs, nodes, edges)
+    return acts.select(
+        "a_id",
+        "b_id",
+        F.round("score", 6).alias("score"),
+        "action",
+        F.coalesce("keep", F.lit("")).alias("keep"),
+        F.coalesce("retire", F.lit("")).alias("retire"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -936,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pairs": q_temporal_pairs,
         "rule_cascade": q_rule_cascade,
         "config_rules": q_config_rules,
+        "dedup_actions": q_dedup_actions,
+        "first_rule_wins": q_first_rule_wins,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1143,6 +1218,57 @@ def _config_rules_sql() -> str:
     )
 
 
+def _first_rule_wins_sql() -> str:
+    return (
+        "SELECT src, dst, relation, weight, ptype, detail, pscore, priority, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY src, dst, relation ORDER BY priority) AS rn "
+        f"FROM ({_rule_cascade_sql()}) base "
+        "WHERE NOT (relation = 'related_to' AND (src + dst) % 5 = 0)"
+        ") WHERE rn = 1"
+    )
+
+
+_DEDUP_ACTIONS_SQL = """
+WITH e AS (
+  SELECT 'd' || CAST(doc_id % 173 AS VARCHAR) AS src,
+         'd' || CAST((doc_id * 5) % 173 AS VARCHAR) AS dst
+  FROM documents
+), deg AS (
+  SELECT node_id, SUM(d) AS degree FROM (
+    SELECT src AS node_id, COUNT(*) AS d FROM e GROUP BY src
+    UNION ALL SELECT dst, COUNT(*) FROM e GROUP BY dst
+  ) GROUP BY node_id
+), p AS (
+  SELECT a.doc_id AS ai, b.doc_id AS bi,
+         0.9 + ((a.doc_id * 7 + b.doc_id * 11) % 100) / 1000.0 AS score
+  FROM documents a CROSS JOIN (SELECT unnest([1, 2]) AS delta) d
+  JOIN documents b ON b.doc_id = a.doc_id + d.delta
+), pa AS (
+  SELECT 'd' || CAST(ai AS VARCHAR) AS a_id, 'd' || CAST(bi AS VARCHAR) AS b_id, score,
+         ((ai * 13) % 100) / 100.0 AS a_imp, ((bi * 13) % 100) / 100.0 AS b_imp,
+         ai % 400 AS a_c, bi % 400 AS b_c,
+         COALESCE(da.degree, 0) AS a_deg, COALESCE(db.degree, 0) AS b_deg
+  FROM p
+  LEFT JOIN deg da ON da.node_id = 'd' || CAST(ai AS VARCHAR)
+  LEFT JOIN deg db ON db.node_id = 'd' || CAST(bi AS VARCHAR)
+)
+SELECT a_id, b_id, round(score, 6) AS score,
+  CASE WHEN a_deg > b_deg * 2 OR b_deg > a_deg * 2 THEN 'merge'
+       WHEN abs(a_imp - b_imp) > 0.3 THEN 'merge'
+       WHEN score >= 0.98 THEN 'supersede'
+       ELSE 'link' END AS action,
+  CASE WHEN a_deg > b_deg * 2 OR b_deg > a_deg * 2 THEN (CASE WHEN a_deg > b_deg THEN a_id ELSE b_id END)
+       WHEN abs(a_imp - b_imp) > 0.3 THEN (CASE WHEN a_imp > b_imp THEN a_id ELSE b_id END)
+       WHEN score >= 0.98 THEN (CASE WHEN a_c > b_c THEN a_id ELSE b_id END)
+       ELSE '' END AS keep,
+  CASE WHEN a_deg > b_deg * 2 OR b_deg > a_deg * 2 THEN (CASE WHEN a_deg > b_deg THEN b_id ELSE a_id END)
+       WHEN abs(a_imp - b_imp) > 0.3 THEN (CASE WHEN a_imp > b_imp THEN b_id ELSE a_id END)
+       WHEN score >= 0.98 THEN (CASE WHEN a_c > b_c THEN b_id ELSE a_id END)
+       ELSE '' END AS retire
+FROM pa
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1296,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(seed=11, max_hamming=16),
         "rule_cascade": _rule_cascade_sql(),
         "config_rules": _config_rules_sql(),
+        "dedup_actions": _DEDUP_ACTIONS_SQL,
+        "first_rule_wins": _first_rule_wins_sql(),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
