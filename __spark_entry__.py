@@ -990,6 +990,38 @@ def q_dedup_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 plain chunker through the REAL chunk_udf: documents.text has no
+    newlines, so the fixture turns every space into one ('\\n'-per-word),
+    giving 20-line groups (briefing/ingest.rs:169-176 semantics: groups
+    joined unstripped, empty-after-trim groups dropped)."""
+    from cortex_spark.extract.chunk import chunk_udf
+
+    d = _docs(spark, sf_dir)
+    multiline = F.replace(F.col("text"), F.lit(" "), F.lit("\n"))
+    return d.select(
+        "doc_id",
+        F.posexplode(chunk_udf(multiline, F.lit("plain"))).alias("chunk_idx", "chunk"),
+    )
+
+
+def q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 markdown chunker through the REAL chunk_udf: ' the ' → '#sec'
+    header lines, remaining spaces → newlines; sections split at '#' lines
+    except a leading one (ingest.rs:148-166, chunks trimmed, empties
+    dropped)."""
+    from cortex_spark.extract.chunk import chunk_udf
+
+    d = _docs(spark, sf_dir)
+    md = F.replace(
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n#sec\n")), F.lit(" "), F.lit("\n")
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(chunk_udf(md, F.lit("markdown"))).alias("chunk_idx", "chunk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1011,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_rules": q_config_rules,
         "dedup_actions": q_dedup_actions,
         "first_rule_wins": q_first_rule_wins,
+        "chunk_plain": q_chunk_plain,
+        "chunk_markdown": q_chunk_markdown,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1269,6 +1303,30 @@ FROM pa
 """
 
 
+_WS_CHARS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+_CHUNK_PLAIN_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS lines FROM documents),
+l AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS ord FROM t),
+g AS (SELECT doc_id, (ord - 1) // 20 AS grp, string_agg(lines[ord], chr(10) ORDER BY ord) AS chunk
+      FROM l GROUP BY doc_id, (ord - 1) // 20),
+k AS (SELECT doc_id, grp, chunk FROM g WHERE trim(chunk, {_WS_CHARS}) <> '')
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS BIGINT) AS chunk_idx, chunk FROM k
+"""
+
+_CHUNK_MD_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(replace(replace(text, ' the ', chr(10) || '#sec' || chr(10)), ' ', chr(10)), chr(10)) AS lines FROM documents),
+l AS (SELECT doc_id, lines, unnest(generate_series(1, len(lines))) AS ord FROM t),
+m AS (SELECT doc_id, ord, lines[ord] AS line,
+      SUM(CASE WHEN ord > 1 AND lines[ord] LIKE '#%' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY doc_id ORDER BY ord) AS sec FROM l),
+g AS (SELECT doc_id, sec, trim(string_agg(line, chr(10) ORDER BY ord), {_WS_CHARS}) AS chunk
+      FROM m GROUP BY doc_id, sec),
+k AS (SELECT * FROM g WHERE chunk <> '')
+SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sec) - 1 AS BIGINT) AS chunk_idx, chunk FROM k
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1424,6 +1482,8 @@ def oracle_sql() -> dict[str, str]:
         "config_rules": _config_rules_sql(),
         "dedup_actions": _DEDUP_ACTIONS_SQL,
         "first_rule_wins": _first_rule_wins_sql(),
+        "chunk_plain": _CHUNK_PLAIN_SQL,
+        "chunk_markdown": _CHUNK_MD_SQL,
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
