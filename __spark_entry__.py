@@ -1022,6 +1022,83 @@ def q_chunk_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 1-hop neighbors (engine.rs:136-170) through the real neighbors()
+    in all three directions from nation n5 over the TPC-H DAG."""
+    from functools import reduce
+
+    from cortex_spark.graph.traverse import neighbors
+
+    edges = _tpch_graph(spark, sf_dir)
+    parts = [
+        neighbors(edges, "n5", direction=d).withColumn("dir", F.lit(d))
+        for d in ("out", "in", "both")
+    ]
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+_REINFORCE_IDS = [f"d{i}" for i in range(0, 60, 7)]
+
+
+def q_reinforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 reinforce (decay.rs:104-135) node side through the real
+    reinforce(): touched ids get access_count+1 and both timestamps reset
+    to `now`; everything else unchanged."""
+    from datetime import datetime
+
+    from cortex_spark.decay import reinforce
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        mins=(id_ % 300).cast("int")
+    )
+    nodes = d.select(
+        F.concat(F.lit("d"), id_.cast("string")).alias("node_id"),
+        (id_ % 10).alias("access_count"),
+        ts.alias("last_accessed_at"),
+        ts.alias("updated_at"),
+    )
+    edges = _reinforce_edges_fixture(spark, sf_dir)
+    _, nodes2 = reinforce(edges, nodes, _REINFORCE_IDS, now=datetime(2026, 1, 1))
+    return nodes2.select(
+        "node_id",
+        "access_count",
+        F.col("last_accessed_at").cast("string").alias("last_accessed_at"),
+        F.col("updated_at").cast("string").alias("updated_at"),
+    )
+
+
+def _reinforce_edges_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("d"), (id_ % 173).cast("string")).alias("src"),
+        F.concat(F.lit("d"), ((id_ * 5) % 173).cast("string")).alias("dst"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=(id_ % 300).cast("int"))
+        ).alias("updated_at"),
+    )
+
+
+def q_reinforce_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 reinforce edge side: edges touching any reinforced node (src OR
+    dst) get updated_at reset to `now`."""
+    from datetime import datetime
+
+    from cortex_spark.decay import reinforce
+
+    edges = _reinforce_edges_fixture(spark, sf_dir)
+    nodes = edges.sparkSession.createDataFrame(
+        [], "node_id string, access_count long, last_accessed_at timestamp, updated_at timestamp"
+    )
+    edges2, _ = reinforce(edges, nodes, _REINFORCE_IDS, now=datetime(2026, 1, 1))
+    return edges2.select(
+        "src", "dst", F.col("updated_at").cast("string").alias("updated_at")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1045,6 +1122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_rule_wins": q_first_rule_wins,
         "chunk_plain": q_chunk_plain,
         "chunk_markdown": q_chunk_markdown,
+        "neighbors": q_neighbors,
+        "reinforce": q_reinforce,
+        "reinforce_edges": q_reinforce_edges,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1327,6 +1407,45 @@ SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sec) - 1 AS 
 """
 
 
+_TPCH_EDGES_SQL = (
+    "SELECT 'r' || n_regionkey AS src, 'n' || n_nationkey AS dst FROM nation "
+    "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer "
+    "UNION ALL SELECT 'c' || o_custkey, 'o' || o_orderkey FROM orders"
+)
+
+_NEIGHBORS_SQL = (
+    f"WITH e AS ({_TPCH_EDGES_SQL}), "
+    "o AS (SELECT DISTINCT dst AS node_id FROM e WHERE src = 'n5'), "
+    "i AS (SELECT DISTINCT src AS node_id FROM e WHERE dst = 'n5'), "
+    "b AS (SELECT node_id FROM o UNION SELECT node_id FROM i) "
+    "SELECT node_id, 'out' AS dir FROM o "
+    "UNION ALL SELECT node_id, 'in' FROM i "
+    "UNION ALL SELECT node_id, 'both' FROM b"
+)
+
+_REINFORCE_IDS_SQL = ", ".join(f"'d{i}'" for i in range(0, 60, 7))
+
+_REINFORCE_SQL = f"""
+WITH n AS (SELECT 'd' || CAST(doc_id AS VARCHAR) AS node_id, doc_id % 10 AS access_count,
+  TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id % 300 AS INT)) AS ts FROM documents)
+SELECT node_id,
+  CASE WHEN node_id IN ({_REINFORCE_IDS_SQL}) THEN access_count + 1 ELSE access_count END AS access_count,
+  CAST(CASE WHEN node_id IN ({_REINFORCE_IDS_SQL}) THEN TIMESTAMP '2026-01-01 00:00:00' ELSE ts END AS VARCHAR) AS last_accessed_at,
+  CAST(CASE WHEN node_id IN ({_REINFORCE_IDS_SQL}) THEN TIMESTAMP '2026-01-01 00:00:00' ELSE ts END AS VARCHAR) AS updated_at
+FROM n
+"""
+
+_REINFORCE_EDGES_SQL = f"""
+WITH e AS (SELECT 'd' || CAST(doc_id % 173 AS VARCHAR) AS src,
+  'd' || CAST((doc_id * 5) % 173 AS VARCHAR) AS dst,
+  TIMESTAMP '2024-01-01 00:00:00' + to_minutes(CAST(doc_id % 300 AS INT)) AS ts FROM documents)
+SELECT src, dst,
+  CAST(CASE WHEN src IN ({_REINFORCE_IDS_SQL}) OR dst IN ({_REINFORCE_IDS_SQL})
+    THEN TIMESTAMP '2026-01-01 00:00:00' ELSE ts END AS VARCHAR) AS updated_at
+FROM e
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1484,6 +1603,9 @@ def oracle_sql() -> dict[str, str]:
         "first_rule_wins": _first_rule_wins_sql(),
         "chunk_plain": _CHUNK_PLAIN_SQL,
         "chunk_markdown": _CHUNK_MD_SQL,
+        "neighbors": _NEIGHBORS_SQL,
+        "reinforce": _REINFORCE_SQL,
+        "reinforce_edges": _REINFORCE_EDGES_SQL,
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
