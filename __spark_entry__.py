@@ -1099,6 +1099,45 @@ def q_reinforce_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_KINDS = ("fact", "event", "observation", "pattern", "decision", "goal")
+_HYBRID_QUERY_TEXT = "graph memory query"
+
+
+def q_hybrid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/J12 full hybrid retrieval through the REAL hybrid_search: one
+    encoded query vector (hashing encoder, inlined into the oracle as a
+    literal array), brute-force cosine over the embeddings table, 3×
+    over-fetch, BFS graph proximity 1/(1+depth) from anchors v0/v50 over a
+    chain graph, 0.7/0.3 blend, top-30 (hybrid.rs:113-225)."""
+    from cortex_spark.hybrid import hybrid_search
+
+    e = _embs(spark, sf_dir)
+    id_ = F.col("vec_id")
+    kinds = F.array(*[F.lit(k) for k in _HYBRID_KINDS])
+    nodes = e.select(
+        F.concat(F.lit("v"), id_.cast("string")).alias("node_id"),
+        F.element_at(kinds, (id_ % 6 + 1).cast("int")).alias("kind"),
+        F.concat(F.lit("T"), id_.cast("string")).alias("title"),
+        F.col("embedding"),
+        F.lit(False).alias("deleted"),
+    )
+    edges = e.select(
+        F.concat(F.lit("v"), id_.cast("string")).alias("src"),
+        F.concat(F.lit("v"), (id_ + 1).cast("string")).alias("dst"),
+    )
+    out = hybrid_search(
+        nodes, edges, _HYBRID_QUERY_TEXT, anchors=["v0", "v50"], limit=30, embed_dim=64
+    )
+    return out.select(
+        "node_id",
+        "kind",
+        "title",
+        F.round("vector_score", 6).alias("vector_score"),
+        F.round("graph_score", 6).alias("graph_score"),
+        F.round("combined_score", 6).alias("combined_score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1125,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors": q_neighbors,
         "reinforce": q_reinforce,
         "reinforce_edges": q_reinforce_edges,
+        "hybrid_full": q_hybrid_full,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1446,6 +1486,34 @@ FROM e
 """
 
 
+def _hybrid_full_sql() -> str:
+    """Mirror of q_hybrid_full: the deterministic hashing-encoder query
+    vector is computed here and inlined as a literal (the encoder itself is
+    pytest-verified); cosine/BFS-proximity/blend/top-k logic is re-derived
+    in SQL (chain graph ⇒ depth = |vec_id − anchor|)."""
+    from cortex_spark.embed import encode_py
+
+    qvec = "[" + ", ".join(repr(float(x)) for x in encode_py(_HYBRID_QUERY_TEXT, 64, 42)) + "]"
+    kind_case = (
+        "CASE vec_id % 6 "
+        + " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(_HYBRID_KINDS))
+        + " END"
+    )
+    return (
+        "WITH n AS (SELECT vec_id, 'v' || CAST(vec_id AS VARCHAR) AS node_id, "
+        f"{kind_case} AS kind, 'T' || CAST(vec_id AS VARCHAR) AS title, embedding FROM embeddings), "
+        f"c AS (SELECT *, list_cosine_similarity(embedding::DOUBLE[], {qvec}::DOUBLE[]) AS vector_score FROM n), "
+        "cand AS (SELECT * FROM c ORDER BY vector_score DESC, node_id ASC LIMIT 90), "
+        "g AS (SELECT *, CASE WHEN vec_id IN (0, 50) THEN 0.0 "
+        "WHEN least(abs(vec_id - 0), abs(vec_id - 50)) <= 3 "
+        "THEN 1.0 / (1.0 + least(abs(vec_id - 0), abs(vec_id - 50))) ELSE 0.0 END AS graph_score FROM cand), "
+        "f AS (SELECT *, 0.7 * vector_score + (1.0 - 0.7) * graph_score AS combined_score FROM g) "
+        "SELECT node_id, kind, title, round(vector_score, 6) AS vector_score, "
+        "round(graph_score, 6) AS graph_score, round(combined_score, 6) AS combined_score "
+        "FROM f ORDER BY combined_score DESC, node_id ASC LIMIT 30"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1606,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors": _NEIGHBORS_SQL,
         "reinforce": _REINFORCE_SQL,
         "reinforce_edges": _REINFORCE_EDGES_SQL,
+        "hybrid_full": _hybrid_full_sql(),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
