@@ -1103,6 +1103,16 @@ _HYBRID_KINDS = ("fact", "event", "observation", "pattern", "decision", "goal")
 _HYBRID_QUERY_TEXT = "graph memory query"
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (second scale path beside LSH): sample-fit spherical k-means
+    quantizer, inverted-list probe join, exact rescore — rows-only check
+    (recall is stochastic; pytest asserts it vs brute force)."""
+    from cortex_spark.dataops.ann import ann_topk_ivf
+
+    e = _embs(spark, sf_dir)
+    return ann_topk_ivf(e, e.filter(F.col("vec_id") < 8), k=10, n_centroids=16, nprobe=6)
+
+
 def q_hybrid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/J12 full hybrid retrieval through the REAL hybrid_search: one
     encoded query vector (hashing encoder, inlined into the oracle as a
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reinforce": q_reinforce,
         "reinforce_edges": q_reinforce_edges,
         "hybrid_full": q_hybrid_full,
+        "ann_ivf": q_ann_ivf,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,

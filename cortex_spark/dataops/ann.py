@@ -8,10 +8,18 @@
   ≪ corpus ⇒ the 100 TB-corpus query cost is proportional to bucket sizes,
   not corpus size. Recall is tunable via (n_planes, bands); falls back to
   brute force within each bucket.
+- ann_topk_ivf: the second scale path — IVF coarse quantizer: k-means
+  centroids fit driver-side on a deterministic sample (standard IVF
+  practice), corpus vectors assigned to their nearest-centroid inverted
+  list via an Arrow GEMM, queries probe only the `nprobe` nearest lists.
+  Query cost ∝ nprobe/n_centroids of the corpus; the cell column is the
+  natural bucketing/partition key for the corpus table at rest.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -70,6 +78,97 @@ def ann_topk_lsh(
         c.join(q, "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    n_centroids: int = 16,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+):
+    """Spherical k-means on a deterministic hash-ordered sample (driver-side
+    Lloyd iterations — the coarse quantizer is always sample-trained; only
+    assignment is distributed). Returns an L2-normalized (n_centroids, dim)
+    float32 numpy array."""
+    sample = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(corpus_id).alias("i"))
+        .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C.astype(np.float32)
+
+
+def _cell_udf(centroids, nprobe: int):
+    """Arrow pandas UDF: vector → its `nprobe` nearest-centroid cell ids
+    (batched float32 GEMM; one row of the centroid matrix is broadcast to
+    every executor inside the serialized UDF closure)."""
+    C = centroids  # (n_centroids, dim) float32, normalized
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float32)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        n = min(nprobe, C.shape[0])
+        # argpartition then exact sort of the head — O(n_centroids) per row
+        idx = np.argpartition(-sims, n - 1, axis=1)[:, :n]
+        order = np.take_along_axis(-sims, idx, axis=1).argsort(axis=1)
+        top = np.take_along_axis(idx, order, axis=1)
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return cells
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    centroids=None,
+) -> DataFrame:
+    """IVF top-k: corpus vectors live in their top-1 centroid cell, each
+    query probes its `nprobe` nearest cells, exact cosine rescore + window
+    rank inside the probed lists only. Pass precomputed `centroids` to
+    reuse a fitted quantizer (the persisted-index pattern)."""
+    C = centroids if centroids is not None else fit_ivf_centroids(
+        corpus, vec_col, corpus_id, n_centroids, seed=seed
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cell", F.explode(_cell_udf(C, nprobe)(F.col("q_vec"))))
+    )
+    cands = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

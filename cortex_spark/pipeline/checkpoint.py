@@ -90,12 +90,23 @@ class CheckpointStore:
         out = self.spark.read.parquet(data_dir)
         rows = out.count()
         # per-partition lineage: parquet files + row counts
-        lineage = [
-            {"file": os.path.relpath(r["file"], data_dir), "rows": r["rows"]}
-            for r in out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
+        def _local_path(uri: str) -> str:
+            # input_file_name() yields file:/... or file:///... URIs
+            if uri.startswith("file:"):
+                uri = uri[len("file:") :]
+                while uri.startswith("//"):
+                    uri = uri[1:]
+            return uri
+
+        lineage = sorted(
+            (
+                {"file": os.path.relpath(_local_path(r["file"]), data_dir), "rows": r["rows"]}
+                for r in out.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ),
+            key=lambda e: e["file"],
+        )
         metrics = {"rows": rows, **(extra_metrics or {})}
         man = {
             "stage": stage,

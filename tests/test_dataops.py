@@ -158,6 +158,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark, embs):
     assert recall >= 0.5, f"LSH ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, embs):
+    from cortex_spark.dataops.ann import ann_topk_ivf, fit_ivf_centroids
+
+    queries = embs.filter("vec_id < 5")
+    exact = ann_topk_bruteforce(embs, queries, k=10)
+    approx = ann_topk_ivf(embs, queries, k=10, n_centroids=16, nprobe=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF ANN recall too low: {recall}"
+    # probing fewer lists than exist: every result is rank-consistent and
+    # the quantizer is deterministic across fits
+    c1 = fit_ivf_centroids(embs, n_centroids=16, seed=7)
+    c2 = fit_ivf_centroids(embs, n_centroids=16, seed=7)
+    assert (c1 == c2).all()
+
+
 def test_ann_bruteforce_topk_matches_numpy(spark, embs):
     rows = embs.collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}

@@ -68,6 +68,15 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert summary["stages"]["nodes"]["rows"] > 0
     assert "canonical_edges" in summary["stages"]
     assert summary["triples"] >= 0 and summary["audit_rows"] > 0
-    # stage outputs + lineage manifests landed on disk
+    # stage outputs + lineage manifests landed on disk, and the
+    # per-partition lineage entries resolve to real parquet files
     assert (out_dir / "nodes" / "_manifest.json").exists()
     assert (out_dir / "canonical_edges" / "_manifest.json").exists()
+    man = json.loads((out_dir / "nodes" / "_manifest.json").read_text())
+    assert man["lineage"], "per-partition lineage missing"
+    data_dir = out_dir / "nodes" / "data"
+    for entry in man["lineage"]:
+        f = (data_dir / entry["file"]).resolve()
+        assert f.is_file() and f.suffix == ".parquet", f"bad lineage path: {entry['file']}"
+        assert entry["rows"] > 0
+    assert sum(e["rows"] for e in man["lineage"]) == man["rows"]
