@@ -20,6 +20,35 @@ import time
 from pyspark.sql import functions as F
 
 
+def host_probe(procs: int, secs: float = 2.0) -> float:
+    """512×512 float32 GEMMs/sec across `procs` processes — a host-health
+    fingerprint recorded alongside every bench run. This VM's Spark times
+    swing 2-5× with host state (see BASELINE.md methodology); a healthy box
+    measures ≈1800 at 8 procs / ≈6500 at 32; a degraded one reads 10-20% of
+    that, and wall-clock numbers taken then undersell the engine."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        a = np.random.RandomState(0).rand(512, 512).astype(np.float32)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < secs:
+            a @ a
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(total / secs, 1)
+
+
 def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -29,6 +58,9 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     from cortex_spark.canon.dedup import dedup_actions, dedup_pairs
     from cortex_spark.canon.merge import canonicalize
     from cortex_spark.session import get_spark
+
+    # probe BEFORE the JVM exists (clean fork) — recorded in the output
+    probe = {"8": host_probe(8), str(cpus): host_probe(cpus)}
 
     spark = get_spark("cortex-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,6 +136,7 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "cpus": cpus,
         "kg": kg,
+        "host_gemms_per_sec": probe,
     }
 
 
