@@ -1148,6 +1148,61 @@ def q_hybrid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_title_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 title derivation (ingest.rs title rules) through the real
+    title_col: first line, leading '#'s stripped, trimmed, 200-char cap.
+    Fixture: ' the ' → newline gives multi-line text; every third doc gets
+    a '## ' markdown-header prefix. documents.text is pure ASCII, so the
+    native char-truncation equals the reference's byte truncation
+    (title_py keeps the multi-byte parity path, pytest-verified)."""
+    from cortex_spark.extract.classify import title_col
+
+    d = _docs(spark, sf_dir)
+    fixture = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("## ")).otherwise(F.lit("")),
+        F.replace(F.col("text"), F.lit(" the "), F.lit("\n")),
+    )
+    return d.select("doc_id", title_col(fixture).alias("title"))
+
+
+def q_prompt_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 prompt-selection scoring (selection.rs:125-194) through the real
+    column functions: context_fit (dot/abs-sum clamp, NULL on no usable
+    weights), BLEND=0.5 variant score with null-fit fallback, observation
+    score (sentiment/corrections/outcome), EMA α=0.1 weight update. The
+    ε-greedy pick itself hashes with xxhash64 (no SQL mirror) and stays
+    pytest-verified."""
+    from cortex_spark.prompt import (
+        context_fit_col,
+        observation_score_col,
+        score_variant_col,
+        update_edge_weight_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    weights = F.create_map(
+        F.lit("a"), ((id_ % 7) - 3).cast("double") / F.lit(3.0),
+        F.lit("b"), (id_ % 5).cast("double") / F.lit(5.0),
+    )
+    signals = F.create_map(F.lit("a"), F.lit(0.6), F.lit("b"), F.lit(0.4))
+    edge_w = (id_ % 100).cast("double") / F.lit(100.0)
+    sentiment = ((id_ % 21).cast("double") - 10.0) / F.lit(10.0)
+    corrections = id_ % 13
+    outcome = F.element_at(
+        F.array(F.lit("success"), F.lit("partial"), F.lit("failure")), (id_ % 3 + 1).cast("int")
+    )
+    fit = context_fit_col(weights, signals)
+    obs = observation_score_col(sentiment, corrections, outcome)
+    return d.select(
+        "doc_id",
+        F.round(F.coalesce(fit, F.lit(-1.0)), 6).alias("fit"),
+        F.round(score_variant_col(edge_w, weights, signals), 6).alias("score"),
+        F.round(obs, 6).alias("obs_score"),
+        F.round(update_edge_weight_col(edge_w, obs), 6).alias("new_weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1176,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reinforce_edges": q_reinforce_edges,
         "hybrid_full": q_hybrid_full,
         "ann_ivf": q_ann_ivf,
+        "title_derive": q_title_derive,
+        "prompt_scoring": q_prompt_scoring,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1525,6 +1582,45 @@ def _hybrid_full_sql() -> str:
     )
 
 
+_TITLE_DERIVE_SQL = """
+SELECT doc_id,
+  substr(trim(regexp_replace(trim(split_part(
+    CASE WHEN doc_id % 3 = 0 THEN '## ' ELSE '' END || replace(text, ' the ', chr(10)),
+    chr(10), 1)), '^#+', '')), 1, 200) AS title
+FROM documents
+"""
+
+_PROMPT_SCORING_SQL = """
+WITH v AS (
+  SELECT doc_id,
+    ((doc_id % 7) - 3) / 3.0 AS wa, (doc_id % 5) / 5.0 AS wb,
+    (doc_id % 100) / 100.0 AS ew,
+    ((doc_id % 21) - 10) / 10.0 AS sent,
+    doc_id % 13 AS corrections,
+    CASE doc_id % 3 WHEN 0 THEN 'success' WHEN 1 THEN 'partial' ELSE 'failure' END AS outcome
+  FROM documents
+), f AS (
+  SELECT *,
+    0.6 * wa + 0.4 * wb AS dot, abs(wa) + abs(wb) AS abs_sum,
+    CASE outcome WHEN 'success' THEN 1.0 WHEN 'partial' THEN 0.5 ELSE 0.0 END AS task,
+    least(corrections * 0.1, 1.0) AS penalty
+  FROM v
+), g AS (
+  SELECT *,
+    CASE WHEN abs_sum < 1e-7 THEN NULL
+         ELSE least(greatest(dot / abs_sum, 0.0), 1.0) END AS fit,
+    least(greatest(0.5 * sent + 0.3 * (1.0 - penalty) + 0.2 * task, 0.0), 1.0) AS obs
+  FROM f
+)
+SELECT doc_id,
+  round(COALESCE(fit, -1.0), 6) AS fit,
+  round(CASE WHEN fit IS NOT NULL THEN least(greatest(0.5 * ew + 0.5 * fit, 0.0), 1.0) ELSE ew END, 6) AS score,
+  round(obs, 6) AS obs_score,
+  round(least(greatest(ew + 0.1 * (obs - ew), 0.0), 1.0), 6) AS new_weight
+FROM g
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1686,6 +1782,8 @@ def oracle_sql() -> dict[str, str]:
         "reinforce": _REINFORCE_SQL,
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
+        "title_derive": _TITLE_DERIVE_SQL,
+        "prompt_scoring": _PROMPT_SCORING_SQL,
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
