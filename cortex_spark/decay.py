@@ -145,6 +145,7 @@ def eviction_candidates(
     limit: int,
     strategy: str = "oldest_lowest_importance",
     live_count: int | None = None,
+    two_phase: bool | None = None,
 ) -> DataFrame:
     """Max-node-cap eviction (retention.rs:231-288, wiring :288-295): when the
     live node count exceeds `limit`, return the `count - limit` ids to evict.
@@ -155,12 +156,13 @@ def eviction_candidates(
     (Vec::sort is stable over scan order, which is not reproducible
     distributed) — node_id asc is added as the deterministic tie-break.
 
-    Scale note: a global orderBy+limit funnels the excess through one
-    partition (mirrors the reference's in-RAM whole-table sort,
-    retention.rs:262-271). For billion-row evictions switch to a two-phase
-    plan: approx importance histogram → cutoff c with count(<c) ≤ excess,
-    evict everything < c, and sort only the boundary group == c for the
-    remainder. Semantics are identical because the sort key is total.
+    Scale path (`two_phase=True`, auto above 1M excess): an exact
+    importance-histogram cutoff — one groupBy over ≤4096 bucket keys, a
+    driver-side cumulative sum, then everything in strictly-lower buckets
+    evicts with NO sort and only the single boundary bucket (≈ n/4096
+    rows) is sorted for the remainder. Bit-identical to the global sort
+    because the sort key (importance, created_at, node_id) is total and
+    bucket boundaries respect importance order (pytest-asserted).
     """
     if strategy != "oldest_lowest_importance":
         raise ValueError(f"Unknown eviction strategy: {strategy}")  # retention.rs:283-286
@@ -169,11 +171,47 @@ def eviction_candidates(
     excess = n - limit
     if excess <= 0:
         return nodes.sparkSession.createDataFrame([], "node_id string")
-    return (
-        live.orderBy(F.asc("importance"), F.asc("created_at"), F.asc("node_id"))
-        .limit(excess)
-        .select("node_id")
+    if two_phase is None:
+        two_phase = excess > 1_000_000
+    order = [F.asc("importance"), F.asc("created_at"), F.asc("node_id")]
+    if not two_phase:
+        return live.orderBy(*order).limit(excess).select("node_id")
+
+    B = 4096
+    imp = F.col("importance")
+    bucket = F.when(imp.isNull(), F.lit(-1)).otherwise(
+        F.least(F.greatest(F.floor(imp * B), F.lit(0)), F.lit(B - 1))
     )
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in live.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    cum = 0
+    boundary = None
+    full_below: list[int] = []
+    for b, c in hist:
+        if cum + c <= excess:
+            full_below.append(b)
+            cum += c
+            if cum == excess:
+                break
+        else:
+            boundary = b
+            break
+    parts = []
+    if full_below:
+        parts.append(live.filter(bucket.isin(full_below)).select("node_id"))
+    if boundary is not None and excess - cum > 0:
+        parts.append(
+            live.filter(bucket == boundary)
+            .orderBy(*order)
+            .limit(excess - cum)
+            .select("node_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def purge_expired(nodes: DataFrame, now: datetime, grace_days: int = 30) -> DataFrame:

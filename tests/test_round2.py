@@ -37,6 +37,29 @@ def test_eviction_strategy_oldest_lowest_importance(spark, nodes_df_factory):
     assert eviction_candidates(nodes, limit=4).count() == 0
 
 
+def test_eviction_two_phase_matches_global_sort(spark, nodes_df_factory):
+    """The histogram-cutoff scale path is bit-identical to the global sort,
+    including importance ties resolved by (created_at, node_id) inside the
+    boundary bucket."""
+    from cortex_spark.decay import eviction_candidates
+
+    rows = []
+    for i in range(120):
+        rows.append(
+            make_node(
+                f"n{i:03d}",
+                importance=(i % 7) / 10.0,  # heavy ties → boundary bucket matters
+                created_at=f"2026-01-{(i % 27) + 1:02d} 00:00:00",
+            )
+        )
+    nodes = nodes_df_factory(rows)
+    for limit in (10, 50, 113, 119):
+        single = {r["node_id"] for r in eviction_candidates(nodes, limit, two_phase=False).collect()}
+        double = {r["node_id"] for r in eviction_candidates(nodes, limit, two_phase=True).collect()}
+        assert double == single, f"limit={limit}"
+        assert len(double) == 120 - limit
+
+
 def test_eviction_unknown_strategy_rejected(spark, nodes_df_factory):
     from cortex_spark.decay import eviction_candidates
 
