@@ -1203,6 +1203,53 @@ def q_prompt_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timetravel_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 time-travel BFS (temporal.rs:55-123) + the W5 temporal edge
+    filter through the real neighborhood_at: TPC-H DAG with per-edge
+    created_at = 2024-01-01 + (key mod 400) days, snapshot at 2024-06-01 —
+    only edges created on or before the snapshot are traversable."""
+    from datetime import datetime
+
+    from cortex_spark.graph.traverse import neighborhood_at
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    mk = lambda key: base + F.make_interval(days=(key % 400).cast("int"))  # noqa: E731
+    e1 = nation.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("dst"),
+        mk(F.col("n_nationkey")).alias("created_at"),
+    )
+    e2 = cust.select(
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("dst"),
+        mk(F.col("c_custkey")).alias("created_at"),
+    )
+    e3 = orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"),
+        mk(F.col("o_orderkey")).alias("created_at"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    out = neighborhood_at(edges, ["r0"], at=datetime(2024, 6, 1), max_depth=3)
+    return out.select("node_id", F.col("depth").cast("int").alias("depth"))
+
+
+def q_subgraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 subgraph merge (subgraph.rs:117-144) through the real
+    merge_subgraphs: two both-direction depth-2 BFS balls (from n5 and n8)
+    unioned with min-depth-wins."""
+    from cortex_spark.graph.traverse import bfs, merge_subgraphs
+
+    edges = _tpch_graph(spark, sf_dir)
+    s5 = bfs(edges, ["n5"], max_depth=2)
+    s8 = bfs(edges, ["n8"], max_depth=2)
+    out = merge_subgraphs(s5, s8)
+    return out.select("node_id", F.col("depth").cast("int").alias("depth"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1233,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
+        "timetravel_bfs": q_timetravel_bfs,
+        "subgraph_merge": q_subgraph_merge,
         "decay": q_decay,
         "degree": q_degree,
         "bfs_depths": q_bfs_depths,
@@ -1784,6 +1833,31 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_full": _hybrid_full_sql(),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
+        "timetravel_bfs": (
+            "WITH inc AS (SELECT 400 AS m), "
+            "n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0 "
+            "AND TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(n_nationkey % 400 AS INT)) <= TIMESTAMP '2024-06-01 00:00:00'), "
+            "c0 AS (SELECT c_custkey FROM customer JOIN n0 ON c_nationkey = n_nationkey "
+            "WHERE TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(c_custkey % 400 AS INT)) <= TIMESTAMP '2024-06-01 00:00:00'), "
+            "o0 AS (SELECT o_orderkey FROM orders JOIN c0 ON o_custkey = c_custkey "
+            "WHERE TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(o_orderkey % 400 AS INT)) <= TIMESTAMP '2024-06-01 00:00:00') "
+            "SELECT 'r0' AS node_id, 0 AS depth "
+            "UNION ALL SELECT 'n' || n_nationkey, 1 FROM n0 "
+            "UNION ALL SELECT 'c' || c_custkey, 2 FROM c0 "
+            "UNION ALL SELECT 'o' || o_orderkey, 3 FROM o0"
+        ),
+        "subgraph_merge": (
+            "WITH roots AS (SELECT 5 AS k UNION ALL SELECT 8), "
+            "rk AS (SELECT k, n_regionkey AS rg FROM roots JOIN nation ON n_nationkey = k), "
+            "d0 AS (SELECT k, 'n' || k AS node_id, 0 AS depth FROM roots), "
+            "d1 AS (SELECT k, 'r' || rg AS node_id, 1 AS depth FROM rk "
+            "UNION ALL SELECT k, 'c' || c_custkey, 1 FROM roots JOIN customer ON c_nationkey = k), "
+            "d2 AS (SELECT rk.k, 'n' || n_nationkey AS node_id, 2 AS depth FROM rk JOIN nation ON n_regionkey = rg AND n_nationkey <> rk.k "
+            "UNION ALL SELECT roots.k, 'o' || o_orderkey, 2 FROM roots JOIN customer ON c_nationkey = roots.k JOIN orders ON o_custkey = c_custkey) "
+            "SELECT node_id, CAST(min(depth) AS INT) AS depth FROM "
+            "(SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2) u "
+            "GROUP BY node_id"
+        ),
         "cc": (
             "WITH cust AS (SELECT c_custkey, n_regionkey FROM customer JOIN nation ON c_nationkey = n_nationkey), "
             "nodes AS ("
