@@ -1250,6 +1250,31 @@ def q_subgraph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", F.col("depth").cast("int").alias("depth"))
 
 
+def q_cyclic_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 cycle detection + G13 Kahn peeling through the real topo_layers:
+    documents partitioned into 20-node blocks — even blocks are closed
+    rings (cycle participants, layer −1), odd blocks are open chains
+    (layer = position). Exercises both outputs of the iterative
+    zero-in-degree peel (subgraph.rs:72-114, engine.rs:256-280)."""
+    from cortex_spark.graph.subgraph import topo_layers
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    pos = id_ % 20
+    even_blk = (id_ % 40) < 20
+    nodes = d.select(F.concat(F.lit("d"), s(id_)).alias("node_id"))
+    e1 = d.filter(pos < 19).select(
+        F.concat(F.lit("d"), s(id_)).alias("src"), F.concat(F.lit("d"), s(id_ + 1)).alias("dst")
+    )
+    e2 = d.filter((pos == 19) & even_blk).select(
+        F.concat(F.lit("d"), s(id_)).alias("src"), F.concat(F.lit("d"), s(id_ - 19)).alias("dst")
+    )
+    layers, cyclic = topo_layers(nodes, e1.unionByName(e2))
+    out = layers.unionByName(cyclic.withColumn("layer", F.lit(-1)))
+    return out.select("node_id", F.col("layer").cast("int").alias("layer"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1280,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
+        "cyclic_nodes": q_cyclic_nodes,
         "timetravel_bfs": q_timetravel_bfs,
         "subgraph_merge": q_subgraph_merge,
         "decay": q_decay,
@@ -1833,6 +1859,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_full": _hybrid_full_sql(),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
+        "cyclic_nodes": (
+            "SELECT 'd' || CAST(doc_id AS VARCHAR) AS node_id, "
+            "CAST(CASE WHEN (doc_id % 40) < 20 THEN -1 ELSE doc_id % 20 END AS INT) AS layer "
+            "FROM documents"
+        ),
         "timetravel_bfs": (
             "WITH inc AS (SELECT 400 AS m), "
             "n0 AS (SELECT n_nationkey FROM nation WHERE n_regionkey = 0 "
