@@ -1275,6 +1275,23 @@ def q_cyclic_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", F.col("layer").cast("int").alias("layer"))
 
 
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 unweighted shortest path (paths.rs:57-112) through the real
+    iterative frontier search: region(n5) → n5 → lowest-keyed customer of
+    nation 5 over the TPC-H DAG (unique tree path ⇒ closed-form oracle)."""
+    from cortex_spark.graph.paths import shortest_path_unweighted
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    target = cust.filter(F.col("c_nationkey") == 5).agg(F.min("c_custkey")).first()[0]
+    region = nation.filter(F.col("n_nationkey") == 5).first()["n_regionkey"]
+    edges = _tpch_graph(spark, sf_dir)
+    path = shortest_path_unweighted(edges, f"r{region}", f"c{target}")
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(path or [])], "position int, node_id string"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text": q_extract_text,
@@ -1305,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
+        "shortest_path": q_shortest_path,
         "cyclic_nodes": q_cyclic_nodes,
         "timetravel_bfs": q_timetravel_bfs,
         "subgraph_merge": q_subgraph_merge,
@@ -1859,6 +1877,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_full": _hybrid_full_sql(),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
+        "shortest_path": (
+            "SELECT CAST(0 AS INT) AS position, 'r' || (SELECT n_regionkey FROM nation WHERE n_nationkey = 5) AS node_id "
+            "UNION ALL SELECT 1, 'n5' "
+            "UNION ALL SELECT 2, 'c' || (SELECT min(c_custkey) FROM customer WHERE c_nationkey = 5)"
+        ),
         "cyclic_nodes": (
             "SELECT 'd' || CAST(doc_id AS VARCHAR) AS node_id, "
             "CAST(CASE WHEN (doc_id % 40) < 20 THEN -1 ELSE doc_id % 20 END AS INT) AS layer "
