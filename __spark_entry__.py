@@ -1113,6 +1113,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(e, e.filter(F.col("vec_id") < 8), k=10, n_centroids=16, nprobe=6)
 
 
+def q_mentions_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 mentions-as-tags kernel through the real tags_col (gazetteer
+    regex → distinct → sorted → 32-cap, types.rs:331-348): the fixture
+    plants per-doc entity tokens by replacing ' the '/' and ' occurrences."""
+    from cortex_spark.extract.pipeline import tags_col
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    ent_a = F.concat(F.lit(" entity"), F.lpad((id_ % 1000).cast("string"), 3, "0"))
+    ent_b = F.concat(F.lit(" entity"), F.lpad(((id_ * 7) % 1000).cast("string"), 3, "0"))
+    fixture = F.replace(F.replace(F.col("text"), F.lit(" the "), ent_a), F.lit(" and "), ent_b)
+    return d.select("doc_id", F.array_join(tags_col(fixture), ",").alias("tags"))
+
+
+def q_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 threshold search (index.rs:375-387) through the real
+    search_threshold: every embedding with cosine ≥ 0.1 against the
+    encoded query vector (no top-k cap)."""
+    from cortex_spark.hybrid import search_threshold
+
+    e = _embs(spark, sf_dir)
+    nodes = e.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("node_id"),
+        F.col("embedding"),
+        F.lit(False).alias("deleted"),
+    )
+    out = search_threshold(nodes, _HYBRID_QUERY_TEXT, threshold=0.1, embed_dim=64)
+    return out.select("node_id", F.round("vector_score", 6).alias("vector_score"))
+
+
 def q_hybrid_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4/J12 full hybrid retrieval through the REAL hybrid_search: one
     encoded query vector (hashing encoder, inlined into the oracle as a
@@ -1319,6 +1349,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reinforce": q_reinforce,
         "reinforce_edges": q_reinforce_edges,
         "hybrid_full": q_hybrid_full,
+        "threshold_search": q_threshold_search,
+        "mentions_tags": q_mentions_tags,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -1714,6 +1746,17 @@ FROM g
 """
 
 
+def _threshold_search_sql() -> str:
+    from cortex_spark.embed import encode_py
+
+    qvec = "[" + ", ".join(repr(float(x)) for x in encode_py(_HYBRID_QUERY_TEXT, 64, 42)) + "]"
+    cos = f"list_cosine_similarity(embedding::DOUBLE[], {qvec}::DOUBLE[])"
+    return (
+        f"SELECT 'v' || CAST(vec_id AS VARCHAR) AS node_id, round({cos}, 6) AS vector_score "
+        f"FROM embeddings WHERE {cos} >= 0.1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -1875,6 +1918,14 @@ def oracle_sql() -> dict[str, str]:
         "reinforce": _REINFORCE_SQL,
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
+        "threshold_search": _threshold_search_sql(),
+        "mentions_tags": (
+            "WITH fx AS (SELECT doc_id, replace(replace(text, ' the ', "
+            "' entity' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')), ' and ', "
+            "' entity' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')) AS t FROM documents) "
+            "SELECT doc_id, COALESCE(array_to_string(list_sort(list_distinct("
+            "regexp_extract_all(lower(t), '(entity[0-9]{3})', 1)))[1:32], ','), '') AS tags FROM fx"
+        ),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
         "shortest_path": (
