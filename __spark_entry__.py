@@ -1305,6 +1305,21 @@ def q_cyclic_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", F.col("layer").cast("int").alias("layer"))
 
 
+def q_weighted_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 max-product-weight traversal (traversal.rs:318-450) through the
+    real iterative max-aggregate relaxation, from r0 over the weighted
+    TPC-H tree (unique paths ⇒ closed-form products per level)."""
+    from cortex_spark.graph.paths import weighted_traverse
+
+    edges = _tpch_graph_weighted(spark, sf_dir)
+    out = weighted_traverse(edges, ["r0"], max_depth=3, directed=True)
+    return out.select(
+        "node_id",
+        F.round("path_weight", 6).alias("path_weight"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
 def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 unweighted shortest path (paths.rs:57-112) through the real
     iterative frontier search: region(n5) → n5 → lowest-keyed customer of
@@ -1354,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
+        "weighted_traverse": q_weighted_traverse,
         "shortest_path": q_shortest_path,
         "cyclic_nodes": q_cyclic_nodes,
         "timetravel_bfs": q_timetravel_bfs,
@@ -1928,6 +1944,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
+        "weighted_traverse": (
+            "WITH n0 AS (SELECT n_nationkey, 0.5 + (n_nationkey % 10) / 25.0 AS w1 FROM nation WHERE n_regionkey = 0), "
+            "c0 AS (SELECT c_custkey, w1, 0.5 + (c_custkey % 10) / 25.0 AS w2 FROM customer JOIN n0 ON c_nationkey = n_nationkey), "
+            "o0 AS (SELECT o_orderkey, w1, w2, 0.5 + (o_orderkey % 10) / 25.0 AS w3 FROM orders JOIN c0 ON o_custkey = c_custkey) "
+            "SELECT 'r0' AS node_id, 1.0 AS path_weight, CAST(0 AS INT) AS depth "
+            "UNION ALL SELECT 'n' || n_nationkey, round(w1, 6), 1 FROM n0 "
+            "UNION ALL SELECT 'c' || c_custkey, round(w1 * w2, 6), 2 FROM c0 "
+            "UNION ALL SELECT 'o' || o_orderkey, round(w1 * w2 * w3, 6), 3 FROM o0"
+        ),
         "shortest_path": (
             "SELECT CAST(0 AS INT) AS position, 'r' || (SELECT n_regionkey FROM nation WHERE n_nationkey = 5) AS node_id "
             "UNION ALL SELECT 1, 'n5' "
