@@ -1305,6 +1305,23 @@ def q_cyclic_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node_id", F.col("layer").cast("int").alias("layer"))
 
 
+def q_dfs_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 exact DFS visit order (traversal.rs:190-315) through the real
+    stack replay: preorder from r0 with children ascending by edge_id. On
+    the TPC-H tree the order equals lexicographic rank of the chr(1)-joined
+    edge-id path (separator sorts below every id character, so a child's
+    whole subtree precedes its next sibling)."""
+    from cortex_spark.graph.traverse import dfs
+
+    edges = _tpch_graph(spark, sf_dir)
+    out, _truncated = dfs(edges, ["r0"], max_depth=3)
+    return out.select(
+        "node_id",
+        F.col("depth").cast("int").alias("depth"),
+        F.col("visit_order").cast("int").alias("visit_order"),
+    )
+
+
 def q_weighted_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 max-product-weight traversal (traversal.rs:318-450) through the
     real iterative max-aggregate relaxation, from r0 over the weighted
@@ -1369,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
+        "dfs_order": q_dfs_order,
         "weighted_traverse": q_weighted_traverse,
         "shortest_path": q_shortest_path,
         "cyclic_nodes": q_cyclic_nodes,
@@ -1944,6 +1962,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "title_derive": _TITLE_DERIVE_SQL,
         "prompt_scoring": _PROMPT_SCORING_SQL,
+        "dfs_order": (
+            "WITH n0 AS (SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0), "
+            "c0 AS (SELECT nk, c_custkey AS ck FROM customer JOIN n0 ON c_nationkey = nk), "
+            "o0 AS (SELECT nk, ck, o_orderkey AS ok FROM orders JOIN c0 ON o_custkey = ck), "
+            "paths AS ("
+            "SELECT 'r0' AS node_id, 0 AS depth, 'r0' AS p "
+            "UNION ALL SELECT 'n' || nk, 1, 'r0' || chr(1) || 'r0-n' || nk FROM n0 "
+            "UNION ALL SELECT 'c' || ck, 2, 'r0' || chr(1) || 'r0-n' || nk || chr(1) || 'n' || nk || '-c' || ck FROM c0 "
+            "UNION ALL SELECT 'o' || ok, 3, 'r0' || chr(1) || 'r0-n' || nk || chr(1) || 'n' || nk || '-c' || ck || chr(1) || 'c' || ck || '-o' || ok FROM o0) "
+            "SELECT node_id, depth, CAST(row_number() OVER (ORDER BY p) - 1 AS INT) AS visit_order FROM paths"
+        ),
         "weighted_traverse": (
             "WITH n0 AS (SELECT n_nationkey, 0.5 + (n_nationkey % 10) / 25.0 AS w1 FROM nation WHERE n_regionkey = 0), "
             "c0 AS (SELECT c_custkey, w1, 0.5 + (c_custkey % 10) / 25.0 AS w2 FROM customer JOIN n0 ON c_nationkey = n_nationkey), "
