@@ -173,3 +173,68 @@ def ann_topk_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+class IvfIndexStore:
+    """Persisted IVF index: centroids as a small parquet, corpus
+    assignments written `partitionBy("cell")` — the inverted lists ARE
+    parquet partitions, so a probe's `cell IN (...)` filter partition-prunes
+    the scan to the probed lists (pytest asserts the pruned file count).
+    The at-rest layout a 100 TB embedding corpus would use."""
+
+    def __init__(self, root: str, spark) -> None:
+        import os
+
+        self.root = root
+        self.spark = spark
+        self.centroids_path = os.path.join(root, "centroids")
+        self.lists_path = os.path.join(root, "lists")
+
+    def build(
+        self,
+        corpus: DataFrame,
+        corpus_id: str = "vec_id",
+        vec_col: str = "embedding",
+        n_centroids: int = 16,
+        seed: int = 7,
+    ) -> None:
+        C = fit_ivf_centroids(corpus, vec_col, corpus_id, n_centroids, seed=seed)
+        rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(C)]
+        self.spark.createDataFrame(rows, "cell int, centroid array<float>").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.centroids_path)
+        assigned = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(self.lists_path)
+
+    def centroids(self):
+        rows = self.spark.read.parquet(self.centroids_path).orderBy("cell").collect()
+        return np.array([r["centroid"] for r in rows], dtype=np.float32)
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        query_id: str = "vec_id",
+        vec_col: str = "embedding",
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Top-k over the persisted lists; reads ONLY the probed cells."""
+        C = self.centroids()
+        q = (
+            queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+            .withColumn("cell", F.explode(_cell_udf(C, nprobe)(F.col("q_vec"))))
+            .localCheckpoint(eager=True)
+        )
+        cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+        lists = self.spark.read.parquet(self.lists_path).filter(F.col("cell").isin(cells))
+        cands = (
+            lists.join(F.broadcast(q), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+        return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
