@@ -722,12 +722,19 @@ def q_write_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic fake images derived from the
-    embeddings table (vec_id-seeded payload) → mapInPandas decode →
-    per-channel features. Rows-only check (codec is the test stub)."""
+    """Multimodal decode: deterministic media derived from the embeddings
+    table (vec_id-seeded payload) → mapInPandas decode → per-channel
+    features. Even ids are REAL P6 netpbm images (genuine codec parse,
+    dataops/multimodal.py:_parse_pnm); odd ids use the fake test format.
+    Rows-only check (binary fixtures aren't SQL-expressible)."""
     import pandas as pd
 
-    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_and_featurize, encode_fake_image
+    from cortex_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        encode_fake_image,
+        encode_ppm,
+    )
 
     def build(batches):
         # fixture construction stays executor-side (no driver collect)
@@ -737,7 +744,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "media_id": [f"m{i}" for i in ids],
                     "kind": ["image"] * len(ids),
-                    "content": [encode_fake_image(8, 8, 3, seed=i) for i in ids],
+                    "content": [
+                        encode_ppm(8, 8, seed=i) if i % 2 == 0 else encode_fake_image(8, 8, 3, seed=i)
+                        for i in ids
+                    ],
                     "media_meta": [
                         {"mime": "image/fake", "width": 8, "height": 8, "channels": 3, "duration_ms": None}
                         for _ in ids

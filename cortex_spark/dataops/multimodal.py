@@ -2,15 +2,19 @@
 
 Images/audio/video ride as `binary` columns with a `media_meta` struct.
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
-signatures over `mapInPandas` — is real and tested; the actual codec calls
-are STUBBED (this container has no image/audio libraries): `decode_image`
-parses a deterministic fake header (tests) and raises NotImplementedError
-for real formats, so swapping in PIL/ffmpeg per executor is a local change
-inside `_decode_one`.
+signatures over `mapInPandas` — is real and tested. Codecs:
 
-Fake format (tests/bench): b"FAKEIMG!" + width:u32be + height:u32be +
-channels:u8 + payload. Feature extraction = per-channel mean of payload
-bytes reshaped (h, w, c) — deterministic, numpy-only.
+- REAL, dependency-free: PPM/PGM images (P6/P5 binary netpbm, numpy
+  parse incl. comment handling) and PCM WAV audio (stdlib `wave`) —
+  genuine decode → feature-extract paths with no external libraries.
+- STUBBED: compressed formats (JPEG/PNG/MP3/MP4) raise
+  NotImplementedError (this container has no PIL/ffmpeg); swapping them
+  in is a local change inside `_decode_one` / `_decode_wav`.
+- Fake format (tests/bench): b"FAKEIMG!" + width:u32be + height:u32be +
+  channels:u8 + payload.
+
+Feature extraction: images → per-channel mean of the (h, w, c) raster;
+audio → duration/RMS/zero-crossing-rate. All deterministic, numpy-only.
 """
 
 from __future__ import annotations
@@ -64,13 +68,51 @@ def encode_fake_image(width: int, height: int, channels: int = 3, seed: int = 0)
     return MAGIC + struct.pack(">IIB", width, height, channels) + payload
 
 
+def encode_ppm(width: int, height: int, seed: int = 0, gray: bool = False) -> bytes:
+    """Valid binary netpbm bytes (P6 RGB / P5 gray) for tests/bench."""
+    rng = np.random.default_rng(seed)
+    c = 1 if gray else 3
+    payload = rng.integers(0, 256, size=width * height * c, dtype=np.uint8).tobytes()
+    magic = b"P5" if gray else b"P6"
+    return magic + b"\n# synthetic\n" + f"{width} {height}\n255\n".encode() + payload
+
+
+def _parse_pnm(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary netpbm decode (P6 RGB / P5 grayscale, maxval ≤ 255) — a real
+    image format, parsed with numpy only. Handles '#' comment lines per
+    the netpbm spec."""
+    magic = content[:2]
+    channels = {b"P6": 3, b"P5": 1}[magic]
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        ch = content[pos : pos + 1]
+        if ch == b"#":
+            pos = content.index(b"\n", pos) + 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            end = pos
+            while not content[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(content[pos:end]))
+            pos = end
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    pos += 1  # single whitespace byte after maxval, then the raster
+    raster = np.frombuffer(content[pos : pos + w * h * channels], dtype=np.uint8)
+    return w, h, channels, raster.reshape(h, w, channels)
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
     if content[:8] == MAGIC:
         w, h, c = struct.unpack(">IIB", content[8:17])
         arr = np.frombuffer(content[17 : 17 + w * h * c], dtype=np.uint8).reshape(h, w, c)
         return w, h, c, arr
-    # real codecs live here (PIL.Image.open(io.BytesIO(content)) etc.)
-    raise NotImplementedError("real image codecs not available in this environment")
+    if content[:2] in (b"P6", b"P5"):
+        return _parse_pnm(content)
+    # compressed codecs live here (PIL.Image.open(io.BytesIO(content)) etc.)
+    raise NotImplementedError("compressed image codecs not available in this environment")
 
 
 def decode_and_featurize(media: DataFrame, resize_to: tuple[int, int] | None = None) -> DataFrame:
@@ -98,6 +140,88 @@ def decode_and_featurize(media: DataFrame, resize_to: tuple[int, int] | None = N
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels", "features", "error"])
 
     return media.select("media_id", "content").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def encode_wav(n_samples: int, rate: int = 16000, freq: float = 440.0, channels: int = 1) -> bytes:
+    """Valid 16-bit PCM WAV bytes (stdlib writer, sine payload)."""
+    import io
+    import wave
+
+    t = np.arange(n_samples) / rate
+    mono = (np.sin(2 * np.pi * freq * t) * 30000).astype("<i2")
+    frames = np.repeat(mono[:, None], channels, axis=1).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
+    """REAL PCM WAV decode via the stdlib `wave` module — no external
+    libraries. Returns (channels, rate, duration_ms, rms, zero-crossing
+    rate) over the downmixed signal."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as wf:
+        nch, sw, rate, nframes = (
+            wf.getnchannels(),
+            wf.getsampwidth(),
+            wf.getframerate(),
+            wf.getnframes(),
+        )
+        raw = wf.readframes(nframes)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
+    mono = arr.reshape(-1, nch).mean(axis=1)
+    duration_ms = int(round(nframes * 1000.0 / rate))
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    return nch, rate, duration_ms, rms, zcr
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode → (duration, RMS, zero-crossing rate);
+    undecodable rows quarantined into `error`, same contract as the image
+    path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    nch, rate, dur, rms, zcr = _decode_wav(bytes(content))
+                    rows.append((mid, nch, rate, dur, rms, zcr, None))
+                except NotImplementedError as e:
+                    rows.append((mid, None, None, None, None, None, str(e)))
+                except Exception as e:
+                    rows.append((mid, None, None, None, None, None, f"decode_error: {e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "channels", "sample_rate", "duration_ms", "rms", "zcr", "error"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -43,3 +43,76 @@ def test_frame_sampling(spark):
     df = _media_df(spark, [("v1", "video", None, ("video/fake", None, None, None, 3500))])
     frames = sample_frames(df, every_ms=1000).collect()
     assert [f["ts_ms"] for f in frames] == [0, 1000, 2000]
+
+
+def test_ppm_pgm_real_decode(spark):
+    """P6/P5 netpbm are decoded for real (numpy parse incl. comments):
+    features equal a hand-computed per-channel mean."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _parse_pnm, encode_ppm
+
+    rgb = encode_ppm(6, 4, seed=3)
+    gray = encode_ppm(5, 5, seed=4, gray=True)
+    w, h, c, arr = _parse_pnm(rgb)
+    assert (w, h, c) == (6, 4, 3) and arr.shape == (4, 6, 3)
+
+    df = _media_df(
+        spark,
+        [
+            ("p6", "image", rgb, ("image/x-portable-pixmap", 6, 4, 3, None)),
+            ("p5", "image", gray, ("image/x-portable-graymap", 5, 5, 1, None)),
+        ],
+    )
+    out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    assert out["p6"]["error"] is None and out["p5"]["error"] is None
+    assert (out["p6"]["width"], out["p6"]["height"], out["p6"]["channels"]) == (6, 4, 3)
+    want = arr.reshape(-1, 3).mean(axis=0) / 255.0
+    got = np.array(out["p6"]["features"])
+    assert np.allclose(got, want, atol=1e-6)
+    # truncated raster quarantines instead of failing the batch
+    bad = rgb[: len(rgb) - 10]
+    r = decode_and_featurize(
+        _media_df(spark, [("bad", "image", bad, ("image/x-portable-pixmap", 6, 4, 3, None))])
+    ).first()
+    assert r["error"] is not None and r["features"] is None
+
+
+def test_wav_real_decode(spark):
+    """PCM WAV decodes for real via the stdlib: duration exact, sine RMS
+    = amp/sqrt(2), zero-crossing rate = 2f/rate; stereo downmixes; 24-bit
+    quarantines as unsupported."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import decode_audio_features, encode_wav
+
+    mono = encode_wav(16000, rate=16000, freq=440.0)
+    stereo = encode_wav(8000, rate=16000, freq=200.0, channels=2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x00" * 100)
+    wav24 = buf.getvalue()
+
+    df = _media_df(
+        spark,
+        [
+            ("a1", "audio", mono, ("audio/wav", None, None, 1, 1000)),
+            ("a2", "audio", stereo, ("audio/wav", None, None, 2, 500)),
+            ("a3", "audio", wav24, ("audio/wav", None, None, 1, None)),
+        ],
+    )
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    a1 = out["a1"]
+    assert a1["error"] is None and a1["duration_ms"] == 1000 and a1["sample_rate"] == 16000
+    amp = 30000 / 32768.0
+    assert abs(a1["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(a1["zcr"] - 2 * 440.0 / 16000) < 0.005
+    a2 = out["a2"]
+    assert a2["channels"] == 2 and a2["duration_ms"] == 500
+    assert out["a3"]["error"] is not None and "24-bit" in out["a3"]["error"]
