@@ -762,6 +762,41 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode (stdlib wave, dataops/multimodal.py:_decode_wav)
+    over executor-built sine fixtures: n_samples = 4000 + (id mod 5)·400 at
+    8 kHz, channels = 1 + id mod 2. The decoded header fields are
+    closed-form in id, so this is oracle-checked (signal features rms/zcr
+    are pytest-verified analytically)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_audio_features, encode_wav
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"a{i}" for i in ids],
+                    "kind": ["audio"] * len(ids),
+                    "content": [
+                        encode_wav(4000 + (i % 5) * 400, rate=8000, channels=1 + i % 2)
+                        for i in ids
+                    ],
+                    "media_meta": [
+                        {"mime": "audio/wav", "width": None, "height": None, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = (
+        _embs(spark, sf_dir).filter("vec_id < 64").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
+    out = decode_audio_features(media)
+    return out.select("media_id", "channels", "sample_rate", "duration_ms")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1393,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_full": q_hybrid_full,
         "threshold_search": q_threshold_search,
         "mentions_tags": q_mentions_tags,
+        "audio_features": q_audio_features,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -1963,6 +1999,12 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "audio_features": (
+            "SELECT 'a' || CAST(vec_id AS VARCHAR) AS media_id, "
+            "CAST(1 + vec_id % 2 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate, "
+            "CAST((4000 + (vec_id % 5) * 400) / 8 AS BIGINT) AS duration_ms "
+            "FROM embeddings WHERE vec_id < 64"
+        ),
         "mentions_tags": (
             "WITH fx AS (SELECT doc_id, replace(replace(text, ' the ', "
             "' entity' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')), ' and ', "
