@@ -116,3 +116,34 @@ def test_wav_real_decode(spark):
     a2 = out["a2"]
     assert a2["channels"] == 2 and a2["duration_ms"] == 500
     assert out["a3"]["error"] is not None and "24-bit" in out["a3"]["error"]
+
+
+def test_y4m_real_video_decode(spark):
+    """YUV4MPEG2 parses for real: frame sampling at 200 ms over 10 frames
+    @25fps hits frames 0 and 5, luma means match numpy; a compressed
+    container quarantines as not-implemented."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _parse_y4m, decode_video_frames, encode_y4m
+
+    vid = encode_y4m(8, 6, n_frames=10, fps=25, seed=9)
+    w, h, num, den, lumas = _parse_y4m(vid)
+    assert (w, h, num, den, len(lumas)) == (8, 6, 25, 1, 10)
+
+    df = _media_df(
+        spark,
+        [
+            ("v1", "video", vid, ("video/x-yuv4mpeg", 8, 6, None, 400)),
+            ("v2", "video", b"\x00\x00\x00\x18ftypmp42 fake", ("video/mp4", None, None, None, None)),
+        ],
+    )
+    out = decode_video_frames(df, every_ms=200).collect()
+    ok = sorted(
+        ((r["frame_idx"], r["ts_ms"], r["luma_mean"]) for r in out if r["media_id"] == "v1")
+    )
+    # 10 frames @ 25fps = 400ms; samples at 0 and 200ms -> frames 0 and 5
+    assert [(i, t) for i, t, _ in ok] == [(0, 0), (5, 200)]
+    assert abs(ok[0][2] - float(lumas[0].mean()) / 255.0) < 1e-9
+    assert abs(ok[1][2] - float(lumas[5].mean()) / 255.0) < 1e-9
+    bad = [r for r in out if r["media_id"] == "v2"]
+    assert len(bad) == 1 and bad[0]["error"] is not None
