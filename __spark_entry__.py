@@ -797,6 +797,37 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "channels", "sample_rate", "duration_ms")
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL y4m video decode (dataops/multimodal.py:_parse_y4m) over
+    executor-built fixtures: 5 + (id mod 5) frames @ 25 fps, sampled every
+    100 ms. The sampling schedule and dimensions come out of the real
+    parser and are closed-form in id (luma means are pytest-verified)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_video_frames, encode_y4m
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"v{i}" for i in ids],
+                    "kind": ["video"] * len(ids),
+                    "content": [encode_y4m(8, 6, n_frames=5 + i % 5, fps=25, seed=i) for i in ids],
+                    "media_meta": [
+                        {"mime": "video/x-yuv4mpeg", "width": 8, "height": 6, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = (
+        _embs(spark, sf_dir).filter("vec_id < 48").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
+    out = decode_video_frames(media, every_ms=100)
+    return out.select("media_id", "frame_idx", "ts_ms", "width", "height")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1429,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_search": q_threshold_search,
         "mentions_tags": q_mentions_tags,
         "audio_features": q_audio_features,
+        "video_frames": q_video_frames,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -1999,6 +2031,13 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "video_frames": (
+            "WITH v AS (SELECT vec_id, 5 + vec_id % 5 AS nf FROM embeddings WHERE vec_id < 48), "
+            "t AS (SELECT vec_id, unnest(generate_series(CAST(0 AS BIGINT), CAST(nf * 40 - 1 AS BIGINT), 100)) AS ts FROM v) "
+            "SELECT 'v' || CAST(vec_id AS VARCHAR) AS media_id, "
+            "CAST(floor(ts * 25 / 1000) AS INT) AS frame_idx, ts AS ts_ms, "
+            "CAST(8 AS INT) AS width, CAST(6 AS INT) AS height FROM t"
+        ),
         "audio_features": (
             "SELECT 'a' || CAST(vec_id AS VARCHAR) AS media_id, "
             "CAST(1 + vec_id % 2 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate, "
