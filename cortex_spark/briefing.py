@@ -132,6 +132,47 @@ def generate_briefing(
     )
 
 
+class BriefingCache:
+    """briefing/cache.rs:1-49 re-expressed for batch: cached report rows
+    keyed by agent, valid only while the graph version matches and the TTL
+    holds. Version plays the role of the reference's `graph_version`
+    counter (any config-hash / snapshot id works); entries store collected
+    report rows, driver-report-sized by contract (≤ sections × PER_SECTION)."""
+
+    def __init__(self, ttl_secs: float = 300.0, clock=None) -> None:
+        import time
+
+        self._ttl = ttl_secs
+        self._clock = clock or time.monotonic
+        self._entries: dict[str, tuple[list, float, int]] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, agent: str, current_version: int):
+        e = self._entries.get(agent)
+        if e is not None:
+            rows, at, version = e
+            if version == current_version and self._clock() - at < self._ttl:
+                self.hits += 1
+                return rows
+        self.misses += 1
+        return None
+
+    def put(self, agent: str, rows: list, version: int) -> None:
+        self._entries[agent] = (rows, self._clock(), version)
+
+    def invalidate(self, agent: str) -> None:
+        self._entries.pop(agent, None)
+
+    def get_or_generate(self, nodes: DataFrame, edges: DataFrame, agent: str, version: int, now) -> list:
+        cached = self.get(agent, version)
+        if cached is not None:
+            return cached
+        rows = generate_briefing(nodes, edges, agent, now).collect()
+        self.put(agent, rows, version)
+        return rows
+
+
 def _section_title(section: str) -> str:
     from cortex_spark.functions.text import pluralize_section
 

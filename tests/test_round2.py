@@ -463,3 +463,32 @@ def test_dfs_budgets_and_limit(spark, edges_df_factory):
     assert out2.count() == 4 and trunc2
     out3, _ = dfs(edges, ["a"], max_depth=2, direction="out", include_start=False)
     assert out3.filter("node_id = 'a'").count() == 0
+
+
+def test_briefing_cache_version_and_ttl(spark, nodes_df_factory, edges_df_factory):
+    """briefing/cache.rs semantics: hit while (version, TTL) hold; miss on
+    version bump or expiry; invalidate drops the entry."""
+    from datetime import datetime
+
+    from cortex_spark.briefing import BriefingCache
+
+    nodes = nodes_df_factory(
+        [make_node("g1", kind="goal", source_agent="kai", importance=0.9)]
+    )
+    edges = edges_df_factory([])
+    clock = {"t": 0.0}
+    cache = BriefingCache(ttl_secs=10.0, clock=lambda: clock["t"])
+    now = datetime(2026, 1, 1)
+
+    r1 = cache.get_or_generate(nodes, edges, "kai", version=1, now=now)
+    assert cache.misses == 1 and cache.hits == 0 and r1
+    r2 = cache.get_or_generate(nodes, edges, "kai", version=1, now=now)
+    assert cache.hits == 1 and r2 == r1          # served from cache
+    assert cache.get("kai", current_version=2) is None   # version bump → miss
+    clock["t"] = 11.0
+    assert cache.get("kai", current_version=1) is None   # TTL expiry → miss
+    cache.put("kai", r1, 1)
+    clock["t"] = 12.0
+    assert cache.get("kai", 1) == r1
+    cache.invalidate("kai")
+    assert cache.get("kai", 1) is None
