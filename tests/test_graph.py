@@ -138,3 +138,32 @@ def test_yen_k_shortest(spark, edges_df_factory):
     assert len(paths) >= 2
     assert all(p[0] == "a" and p[-1] == "z" for p in paths)
     assert len({tuple(p) for p in paths}) == len(paths)  # loopless + distinct
+
+
+def test_adjacency_cache_lifecycle(spark, edges_df_factory):
+    """graph/cache.rs semantics: lazy build, reuse without rebuild,
+    invalidate-on-write then rebuild reflecting the new edge table."""
+    from tests.conftest import make_edge
+
+    from cortex_spark.graph.cache import AdjacencyCache
+
+    edges = edges_df_factory([make_edge("a", "b"), make_edge("b", "c")])
+    cache = AdjacencyCache(edges)
+    assert not cache.is_valid()
+    n1 = {r["node_id"] for r in cache.neighbors("b").collect()}
+    assert n1 == {"a", "c"} and cache.is_valid() and cache.builds == 1
+    # second lookup reuses the persisted projection
+    assert {r["node_id"] for r in cache.neighbors("a").collect()} == {"b"}
+    assert cache.builds == 1
+
+    # a write invalidates; next read lazily rebuilds from the new table
+    edges2 = edges_df_factory([make_edge("a", "b"), make_edge("b", "c"), make_edge("b", "d")])
+    cache.set_edges(edges2)
+    assert not cache.is_valid()
+    n2 = {r["node_id"] for r in cache.neighbors("b").collect()}
+    assert n2 == {"a", "c", "d"} and cache.builds == 2
+
+    # direction + relation filters go through the cached projection
+    assert {r["node_id"] for r in cache.neighbors("b", direction="out").collect()} == {"c", "d"}
+    assert {r["node_id"] for r in cache.neighbors("b", direction="in").collect()} == {"a"}
+    cache.invalidate()
