@@ -51,9 +51,31 @@ def classify_py(text: str) -> str:
 
 
 def title_col(text: Column) -> Column:
+    """First line, '#'-stripped, trimmed, capped at TITLE_MAX_BYTES *bytes*
+    on a UTF-8 boundary — exact reference byte-truncation semantics
+    (`truncate_utf8`), native: when the 200-byte prefix would split a
+    multi-byte char, back up to the last non-continuation byte (≤ 3 steps,
+    UTF-8 chars are ≤ 4 bytes). Char-based substring would diverge from
+    the Rust reference on any non-ASCII page."""
     first = F.trim(F.split_part(text, F.lit("\n"), F.lit(1)))
     stripped = F.trim(F.regexp_replace(first, r"^#+", ""))
-    return F.substring(stripped, 1, TITLE_MAX_BYTES)
+    raw = stripped.cast("binary")
+
+    def cont(i: int) -> Column:  # byte i (1-based) is a UTF-8 continuation byte
+        b = F.conv(F.hex(F.substring(raw, i, 1)), 16, 10).cast("int")
+        return (b >= 128) & (b < 192)
+
+    m = TITLE_MAX_BYTES
+    cut = (
+        F.when(~cont(m + 1), F.lit(m))
+        .when(~cont(m), F.lit(m - 1))
+        .when(~cont(m - 1), F.lit(m - 2))
+        .otherwise(F.lit(m - 3))
+    )
+    out = F.when(F.octet_length(stripped) <= m, stripped).otherwise(
+        F.decode(F.substring(raw, F.lit(1), cut), "UTF-8")
+    )
+    return F.when(text.isNull() | (text == ""), F.lit("Untitled")).otherwise(out)
 
 
 def title_py(text: str) -> str:

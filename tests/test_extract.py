@@ -111,3 +111,30 @@ def test_fused_matches_unfused(spark):
     for x, y in zip(ra, rb):
         assert x == y, f"mismatch: {x}\n!=\n{y}"
     pages.unpersist()
+
+
+def test_title_col_byte_truncation_parity(spark):
+    """title_col now byte-truncates on UTF-8 boundaries exactly like the
+    Python/Rust reference (title_py), including mid-char cuts with 2-, 3-
+    and 4-byte characters."""
+    from pyspark.sql import functions as F
+
+    from cortex_spark.extract.classify import title_col, title_py
+
+    cases = [
+        "x" * 250,                        # pure ASCII over the cap
+        "é" * 150,                        # 2-byte chars: 300 bytes, cut at 200 (even)
+        "a" + "é" * 150,                  # odd offset → mid-char cut at byte 200
+        "€" * 100,                        # 3-byte chars: cut 200 → mid-char (200 % 3 ≠ 0)
+        "ab" + "€" * 100,                 # shifted 3-byte grid
+        "🚀" * 60,                        # 4-byte chars: 240 bytes, 200 mid-char
+        "abc🚀" * 30,                     # mixed grid
+        "## Héading with ünïcode\nbody",  # under the cap, strip/trim path
+        "short",
+        "",                               # empty → 'Untitled' (ingest.rs)
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [r["t"] for r in df.select(title_col(F.col("text")).alias("t")).collect()]
+    want = [title_py(t) for t in cases]
+    assert got == want
+    assert all(len(t.encode()) <= 200 for t in got)
