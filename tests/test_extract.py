@@ -138,3 +138,12 @@ def test_title_col_byte_truncation_parity(spark):
     want = [title_py(t) for t in cases]
     assert got == want
     assert all(len(t.encode()) <= 200 for t in got)
+
+
+def test_extract_text_multibyte_and_entities():
+    """Byte-identity invariant holds on non-ASCII input: UTF-8 passthrough,
+    named/decimal/hex character references, invalid bytes → U+FFFD."""
+    from cortex_spark.extract.html import extract_text_py
+
+    assert extract_text_py(b"<p>caf\xc3\xa9 &eacute; &#233; &#x1F680;</p>") == "café é é \U0001f680"
+    assert extract_text_py(b"<p>broken \xff bytes</p>") == "broken � bytes"
