@@ -48,7 +48,13 @@ _BASE_WORDS = (
 # widen the vocabulary so unrelated documents are actually dissimilar
 # (cosine baseline ≈ 0) — similarity comes from PLANTED near-dups/entities,
 # not from global vocab overlap, mirroring real web text.
-_WORDS = _BASE_WORDS + [f"term{i:03d}" for i in range(400)]
+_WORDS = _BASE_WORDS + [f"term{i:03d}" for i in range(400)] + [
+    # multibyte tokens: real web text is not ASCII — these exercise the
+    # byte-exact paths (extraction byte-identity, title byte-truncation,
+    # UTF-8 md5 tokenization) end to end in every synth corpus
+    "café", "münchen", "façade", "naïve", "zürich", "résumé",
+    "données", "straße", "日本語", "тест", "señor", "🚀",
+]
 _ENTITIES = [f"entity{i:03d}" for i in range(120)]
 _KIND_SNIPPETS = [
     "we decided to adopt this approach",  # decision
