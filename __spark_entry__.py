@@ -828,6 +828,36 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_idx", "ts_ms", "width", "height")
 
 
+def q_cursor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/§2.11 changed-since cursor batch through the real select_fresh:
+    live filter (deleted/embedding), created-OR-updated-after-cursor,
+    (created_at, node_id) total order, 120-node cap — all arithmetic in
+    doc_id so the cutoff is closed-form."""
+    from cortex_spark.pipeline.incremental import select_fresh
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    created = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        days=(id_ % 400).cast("int")
+    )
+    updated = created + F.make_interval(days=(id_ % 3).cast("int"))
+    nodes = d.select(
+        F.concat(F.lit("d"), id_.cast("string")).alias("node_id"),
+        created.alias("created_at"),
+        updated.alias("updated_at"),
+        (id_ % 11 == 0).alias("deleted"),
+        F.when(id_ % 13 == 0, F.lit(None)).otherwise(F.array(F.lit(1.0))).alias("embedding"),
+    )
+    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    cursor_lit = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    fresh = select_fresh(live, cursor_lit, 120)
+    return fresh.select(
+        "node_id",
+        F.col("created_at").cast("string").alias("created_at"),
+        F.col("updated_at").cast("string").alias("updated_at"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1461,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions_tags": q_mentions_tags,
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
+        "cursor_batch": q_cursor_batch,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -2031,6 +2062,17 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "cursor_batch": (
+            "WITH n AS (SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS node_id, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 400 AS INT)) AS created_at, "
+            "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 400 AS INT)) + to_days(CAST(doc_id % 3 AS INT)) AS updated_at "
+            "FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 13 <> 0), "
+            "f AS (SELECT * FROM n WHERE created_at > TIMESTAMP '2024-06-01 00:00:00' "
+            "OR updated_at > TIMESTAMP '2024-06-01 00:00:00' "
+            "ORDER BY created_at ASC, node_id ASC LIMIT 120) "
+            "SELECT node_id, CAST(created_at AS VARCHAR) AS created_at, "
+            "CAST(updated_at AS VARCHAR) AS updated_at FROM f"
+        ),
         "video_frames": (
             "WITH v AS (SELECT vec_id, 5 + vec_id % 5 AS nf FROM embeddings WHERE vec_id < 48), "
             "t AS (SELECT vec_id, unnest(generate_series(CAST(0 AS BIGINT), CAST(nf * 40 - 1 AS BIGINT), 100)) AS ts FROM v) "

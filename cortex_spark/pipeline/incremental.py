@@ -47,6 +47,18 @@ def read_meta(meta_path: str) -> dict | None:
     return None
 
 
+def select_fresh(live: DataFrame, cursor_lit, max_nodes: int) -> DataFrame:
+    """W6/§2.11 changed-since batch: live nodes created OR updated after the
+    cursor, deterministic (created_at, node_id) order, per-cycle cap
+    (auto_linker.rs:189-210). Factored out so the selection semantics are
+    driver-oracle-checkable on their own."""
+    return (
+        live.filter((F.col("created_at") > cursor_lit) | (F.col("updated_at") > cursor_lit))
+        .orderBy(F.asc("created_at"), F.asc("node_id"))
+        .limit(max_nodes)
+    )
+
+
 def run_cycle(
     nodes: DataFrame,
     existing_edges: DataFrame,
@@ -86,12 +98,7 @@ def run_cycle(
 
     cursor_lit = F.to_timestamp(F.lit(cursor.strftime("%Y-%m-%d %H:%M:%S")))
     live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
-    fresh = (
-        live.filter((F.col("created_at") > cursor_lit) | (F.col("updated_at") > cursor_lit))
-        .orderBy(F.asc("created_at"), F.asc("node_id"))
-        .limit(max_nodes_per_cycle)
-        .localCheckpoint(eager=True)
-    )
+    fresh = select_fresh(live, cursor_lit, max_nodes_per_cycle).localCheckpoint(eager=True)
     n_fresh = fresh.count()
     if n_fresh == 0:
         metrics = {"nodes_processed": 0, "edges_created": 0, "cursor": cursor.isoformat(), "cycle": cycle + 1}
