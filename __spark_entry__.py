@@ -858,6 +858,27 @@ def q_cursor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 embedding-input builder (vector/embedding.rs:113-131) through the
+    real embed_input_col: 'Kind: title\\nbody[\\ntags: a, b]' with the
+    empty-tags branch exercised on every 7th doc."""
+    from cortex_spark.embed import embed_input_col
+    from cortex_spark.extract.classify import classify_col
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    tags = F.when(id_ % 7 == 0, F.array().cast("array<string>")).otherwise(
+        F.array(
+            F.concat(F.lit("g"), (id_ % 4).cast("string")),
+            F.concat(F.lit("h"), (id_ % 3).cast("string")),
+        )
+    )
+    inp = embed_input_col(
+        classify_col(F.col("text")), F.substring(F.col("text"), 1, 40), F.col("text"), tags
+    )
+    return d.select("doc_id", inp.alias("embed_input"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1492,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_frames": q_video_frames,
         "cursor_batch": q_cursor_batch,
+        "embed_input": q_embed_input,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -2062,6 +2084,13 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "embed_input": (
+            f"WITH d AS (SELECT doc_id, text, {_CLASSIFY_SQL_CASE} AS kind FROM documents) "
+            "SELECT doc_id, upper(substr(kind, 1, 1)) || substr(kind, 2) || ': ' || substr(text, 1, 40) "
+            "|| chr(10) || text || "
+            "CASE WHEN doc_id % 7 = 0 THEN '' ELSE chr(10) || 'tags: g' || CAST(doc_id % 4 AS VARCHAR) "
+            "|| ', h' || CAST(doc_id % 3 AS VARCHAR) END AS embed_input FROM d"
+        ),
         "cursor_batch": (
             "WITH n AS (SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) AS node_id, "
             "TIMESTAMP '2024-01-01 00:00:00' + to_days(CAST(doc_id % 400 AS INT)) AS created_at, "
