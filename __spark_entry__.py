@@ -879,6 +879,42 @@ def q_embed_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", inp.alias("embed_input"))
 
 
+def q_import_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 through the real export_graph → import_nodes_json roundtrip:
+    a documents-derived node table is dumped to JSON (deleted rows dropped,
+    embeddings stripped) and re-imported with content-hashed ids and
+    Imported-provenance defaults; the oracle recomputes the sha256 ids and
+    field mapping closed-form."""
+    import tempfile
+
+    from cortex_spark.io import export_graph, import_nodes_json
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    kinds = F.array(F.lit("fact"), F.lit("goal"), F.lit("event"))
+    nodes = d.select(
+        F.concat(F.lit("T"), id_.cast("string")).alias("title"),
+        F.col("text").alias("body"),
+        F.element_at(kinds, (id_ % 3 + 1).cast("int")).alias("kind"),
+        (((id_ * 13) % 100) / F.lit(100.0)).alias("importance"),
+        (id_ % 11 == 0).alias("deleted"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    edges = d.limit(0).select(
+        F.lit("a").alias("src"), F.lit("b").alias("dst"), F.lit("related_to").alias("relation")
+    )
+    out_dir = tempfile.mkdtemp(prefix="cortex_export_")
+    export_graph(nodes, edges, out_dir)
+    imported = import_nodes_json(spark, f"{out_dir}/nodes", source="import")
+    return imported.select(
+        "node_id",
+        "kind",
+        "title",
+        F.round(F.col("importance").cast("double"), 6).alias("importance"),
+        "source_agent",
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1514,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "cursor_batch": q_cursor_batch,
         "embed_input": q_embed_input,
+        "import_export": q_import_export,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -2084,6 +2121,14 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "import_export": (
+            "WITH n AS (SELECT doc_id, 'T' || CAST(doc_id AS VARCHAR) AS title, text AS body, "
+            "CASE doc_id % 3 WHEN 0 THEN 'fact' WHEN 1 THEN 'goal' ELSE 'event' END AS kind, "
+            "((doc_id * 13) % 100) / 100.0 AS importance FROM documents WHERE doc_id % 11 <> 0) "
+            "SELECT substr(sha256(title || chr(0) || body || chr(0) || 'import'), 1, 32) AS node_id, "
+            "kind, title, round(CAST(CAST(importance AS FLOAT) AS DOUBLE), 6) AS importance, "
+            "'import' AS source_agent FROM n"
+        ),
         "embed_input": (
             f"WITH d AS (SELECT doc_id, text, {_CLASSIFY_SQL_CASE} AS kind FROM documents) "
             "SELECT doc_id, upper(substr(kind, 1, 1)) || substr(kind, 2) || ': ' || substr(text, 1, 40) "
