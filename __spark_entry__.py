@@ -915,6 +915,90 @@ def q_import_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GATE_TITLES = [
+    "Alice Johnson report summary",      # 0: pronoun body resolved by proper noun
+    "the quarterly update note",         # 1: pronoun body, no proper noun → unresolved
+    "Status report from last week",      # 2: temporal term in title
+    "Deployment digest entry",           # 3: temporal term in body
+    "Deployment digest entry",           # 4: importance .95, body <100B
+    "Deployment digest entry",           # 5: importance .85, body <50B
+    "Deployment digest entry",           # 6: importance .75, empty tags
+    "tiny",                              # 7: title <10 bytes
+    "Deployment digest entry",           # 8: body <20 bytes
+    "Deployment digest entry",           # 9: bare-URL body
+    "Deployment digest entry",           # 10: timestamp body
+    "Deployment digest entry",           # 11: decision without action word
+]
+_GATE_BODIES = [
+    "They went to deploy the build and it held fine",
+    "They went to deploy the build and it held fine",
+    "standard deployment content line for gate checks",
+    "yesterday we shipped the release to the production cluster",
+    "a compact note about deployments rolled out",
+    "deploy notes recorded here ok",
+    "standard deployment content line for gate checks",
+    "standard deployment content line for gate checks",
+    "too small",
+    "https://example.com/path",
+    "2026-01-01 08:00:00.000",
+    "the team met and talked at length",
+]
+
+
+def q_gate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 write gate, ALL branches, through the real substance/specificity/
+    schema reason columns (gate.py / gate/mod.rs:95-213, schema.rs:89-179):
+    12 planted title/body variants trip every substance+specificity rule,
+    and a per-kind metadata schema (required field, number type, max bound,
+    allowed values) trips every schema rule. The earlier write_gate query
+    keeps the documents-scale slice; this one pins the branch matrix."""
+    from cortex_spark.gate import (
+        FieldSchema,
+        KindSchema,
+        schema_reason,
+        specificity_reason,
+        substance_reason,
+    )
+
+    d = _docs(spark, sf_dir)
+    id_ = F.col("doc_id")
+    v = (id_ % 12).cast("int")
+    w = (id_ % 5).cast("int")
+    titles = F.array(*[F.lit(t) for t in _GATE_TITLES])
+    bodies = F.array(*[F.lit(b) for b in _GATE_BODIES])
+    title = F.element_at(titles, v + 1)
+    body = F.element_at(bodies, v + 1)
+    kind = F.when(v == 11, F.lit("decision")).otherwise(F.lit("fact"))
+    importance = (
+        F.when(v == 4, 0.95).when(v == 5, 0.85).when(v == 6, 0.75).otherwise(0.5)
+    )
+    tags = F.when(v == 6, F.array().cast("array<string>")).otherwise(
+        F.array(F.lit("x1"), F.lit("y2"))
+    )
+    metadata = (
+        F.when(w == 1, F.create_map(F.lit("status"), F.lit("a")))
+        .when(w == 2, F.create_map(F.lit("confidence"), F.lit("abc")))
+        .when(w == 3, F.create_map(F.lit("confidence"), F.lit("1.5")))
+        .when(w == 4, F.create_map(F.lit("confidence"), F.lit("0.2"), F.lit("status"), F.lit("z")))
+        .otherwise(F.create_map(F.lit("confidence"), F.lit("0.5"), F.lit("status"), F.lit("a")))
+    )
+    schemas = {
+        "fact": KindSchema(
+            required_fields=["confidence"],
+            fields={
+                "confidence": FieldSchema(field_type="number", min=0.0, max=1.0),
+                "status": FieldSchema(allowed_values=["a", "b"]),
+            },
+        )
+    }
+    return d.select(
+        "doc_id",
+        F.coalesce(substance_reason(kind, title, body), F.lit("")).alias("substance"),
+        F.coalesce(specificity_reason(title, body, importance, tags), F.lit("")).alias("specificity"),
+        F.coalesce(schema_reason(kind, metadata, schemas), F.lit("")).alias("schema_check"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1551,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_batch": q_cursor_batch,
         "embed_input": q_embed_input,
         "import_export": q_import_export,
+        "gate_full": q_gate_full,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -2121,6 +2206,23 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "gate_full": (
+            # hand-derived expected reasons per (doc_id%12, doc_id%5) —
+            # the Spark side computes them through the real gate columns
+            "SELECT doc_id, "
+            "CASE doc_id % 12 WHEN 7 THEN 'title too short' WHEN 8 THEN 'body too short' "
+            "WHEN 9 THEN 'body is a bare URL' WHEN 10 THEN 'body is just a timestamp' "
+            "WHEN 11 THEN 'decision without action word' ELSE '' END AS substance, "
+            "CASE doc_id % 12 WHEN 1 THEN 'unresolved pronoun' "
+            "WHEN 2 THEN 'unanchored temporal reference' WHEN 3 THEN 'unanchored temporal reference' "
+            "WHEN 4 THEN 'high importance, thin body' WHEN 5 THEN 'high importance, thin body' "
+            "WHEN 6 THEN 'importance requires tags' ELSE '' END AS specificity, "
+            "CASE WHEN doc_id % 12 = 11 THEN '' ELSE "
+            "CASE doc_id % 5 WHEN 1 THEN 'required field missing: confidence' "
+            "WHEN 2 THEN 'confidence: expected number' WHEN 3 THEN 'confidence: exceeds maximum 1.0' "
+            "WHEN 4 THEN 'status: value not allowed' ELSE '' END END AS schema_check "
+            "FROM documents"
+        ),
         "import_export": (
             "WITH n AS (SELECT doc_id, 'T' || CAST(doc_id AS VARCHAR) AS title, text AS body, "
             "CASE doc_id % 3 WHEN 0 THEN 'fact' WHEN 1 THEN 'goal' ELSE 'event' END AS kind, "
