@@ -999,6 +999,31 @@ def q_gate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_KINDS = ["fact", "custom-kind", "Bad", "with_underscore", "", "kind2"]
+_VOCAB_RELS = ["related_to", "x-y", "uses", "Led_To", "", "rel9"]
+
+
+def q_vocab_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kind/relation syntactic validation (types.rs:76-95/186-205) through
+    the real vocab columns: kinds allow lowercase alnum + hyphens, relations
+    lowercase alnum + underscores; plus the allowed-list gate."""
+    from cortex_spark.vocab import kind_valid_col, relation_valid_col
+
+    d = _docs(spark, sf_dir)
+    v = (F.col("doc_id") % 6 + 1).cast("int")
+    kind = F.element_at(F.array(*[F.lit(k) for k in _VOCAB_KINDS]), v)
+    rel = F.element_at(F.array(*[F.lit(r) for r in _VOCAB_RELS]), v)
+    kind_ok = kind_valid_col(kind)
+    return d.select(
+        "doc_id",
+        kind.alias("kind"),
+        kind_ok.alias("kind_ok"),
+        (kind_ok & kind.isin(["fact", "custom-kind"])).alias("kind_allowed"),
+        rel.alias("relation"),
+        relation_valid_col(rel).alias("rel_ok"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs over documents via the native md5 bit-majority
     kernel (dataops/dedup.py:simhash_pairs_native) — candidate = any 16-bit
@@ -1636,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_input": q_embed_input,
         "import_export": q_import_export,
         "gate_full": q_gate_full,
+        "vocab_check": q_vocab_check,
         "ann_ivf": q_ann_ivf,
         "title_derive": q_title_derive,
         "prompt_scoring": q_prompt_scoring,
@@ -2206,6 +2232,16 @@ def oracle_sql() -> dict[str, str]:
         "reinforce_edges": _REINFORCE_EDGES_SQL,
         "hybrid_full": _hybrid_full_sql(),
         "threshold_search": _threshold_search_sql(),
+        "vocab_check": (
+            "WITH v AS (SELECT doc_id, "
+            "['fact', 'custom-kind', 'Bad', 'with_underscore', '', 'kind2'][(doc_id % 6)::INT + 1] AS kind, "
+            "['related_to', 'x-y', 'uses', 'Led_To', '', 'rel9'][(doc_id % 6)::INT + 1] AS relation "
+            "FROM documents) "
+            "SELECT doc_id, kind, "
+            "kind <> '' AND regexp_matches(kind, '^[a-z0-9-]+$') AS kind_ok, "
+            "kind <> '' AND regexp_matches(kind, '^[a-z0-9-]+$') AND kind IN ('fact', 'custom-kind') AS kind_allowed, "
+            "relation, relation <> '' AND regexp_matches(relation, '^[a-z0-9_]+$') AS rel_ok FROM v"
+        ),
         "gate_full": (
             # hand-derived expected reasons per (doc_id%12, doc_id%5) —
             # the Spark side computes them through the real gate columns

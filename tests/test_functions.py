@@ -144,3 +144,29 @@ def test_lang_id_and_quality(spark):
     assert tc[0] == 8
     q = df.select(quality_score_col(F.col("t")).alias("q")).first()["q"]
     assert 0.0 <= q <= 1.0
+
+
+def test_vocab_validation_split(spark, nodes_df_factory, edges_df_factory):
+    """types.rs kind/relation rules + allowed-list quarantine split."""
+    from tests.conftest import make_edge, make_node
+
+    from cortex_spark.vocab import DEFAULT_KINDS, DEFAULT_RELATIONS, validate_vocab
+
+    nodes = nodes_df_factory(
+        [make_node("a", kind="fact"), make_node("b", kind="Bad"), make_node("c", kind="my-kind")]
+    )
+    edges = edges_df_factory(
+        [make_edge("a", "b", relation="related_to"), make_edge("a", "c", relation="x-y")]
+    )
+    n_ok, n_bad, e_ok, e_bad = validate_vocab(nodes, edges)
+    assert {r["node_id"] for r in n_ok.collect()} == {"a", "c"}
+    bad = n_bad.first()
+    assert bad["node_id"] == "b" and "kind" in bad["vocab_reason"]
+    assert {r["relation"] for r in e_ok.collect()} == {"related_to"}
+    assert e_bad.count() == 1
+
+    # allowed-list narrows further (my-kind is syntactically fine but unlisted)
+    n_ok2, n_bad2, _, _ = validate_vocab(nodes, edges, allowed_kinds=DEFAULT_KINDS)
+    assert {r["node_id"] for r in n_ok2.collect()} == {"a"}
+    assert n_bad2.count() == 2
+    assert "related_to" in DEFAULT_RELATIONS and "fact" in DEFAULT_KINDS
