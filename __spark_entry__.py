@@ -2021,11 +2021,20 @@ def _hybrid_full_sql() -> str:
 
 
 _TITLE_DERIVE_SQL = """
+-- byte-aligned with title_col: longest char prefix whose UTF-8 encoding is
+-- <= 200 bytes (descending scan; first n that fits wins), so the oracle
+-- stays correct even if the corpus grows multibyte first lines.
 SELECT doc_id,
-  substr(trim(regexp_replace(trim(split_part(
+  (SELECT substr(t, 1, g.n)
+   FROM generate_series(1, 200) g(n)
+   WHERE octet_length(encode(substr(t, 1, g.n))) <= 200
+   ORDER BY g.n DESC LIMIT 1) AS title
+FROM (
+  SELECT doc_id, trim(regexp_replace(trim(split_part(
     CASE WHEN doc_id % 3 = 0 THEN '## ' ELSE '' END || replace(text, ' the ', chr(10)),
-    chr(10), 1)), '^#+', '')), 1, 200) AS title
-FROM documents
+    chr(10), 1)), '^#+', '')) AS t
+  FROM documents
+)
 """
 
 _PROMPT_SCORING_SQL = """

@@ -1,25 +1,68 @@
 """Query/ops CLI over a pipeline store (reference cortex-server/src/cli/*).
 
-The reference ships `cortex` subcommands (stats, search, traverse, node,
-briefing, doctor, backup/restore, security). Batch analogue — each command
-reads the checkpoint-store parquet written by `cortex_spark.pipeline.run`
-and prints one JSON document:
+The reference ships `cortex` subcommands (cli/mod.rs Commands enum: node,
+edge, search, traverse, path, briefing, import, export, backup, restore,
+migrate, stats, doctor, config, audit, security, agent, prompt — plus the
+server-only serve/shell/init/mcp, which SURVEY S6 replaces with the batch
+driver contract). Batch analogue — each command reads/writes the
+checkpoint-store parquet written by `cortex_spark.pipeline.run` and prints
+one JSON document:
 
     python -m cortex_spark.cli --store /tmp/kg stats
     python -m cortex_spark.cli --store /tmp/kg search "rollout incident" -k 5
-    python -m cortex_spark.cli --store /tmp/kg neighbors <node_id> --direction out
-    python -m cortex_spark.cli --store /tmp/kg briefing <agent>
-    python -m cortex_spark.cli --store /tmp/kg doctor
-    python -m cortex_spark.cli --store /tmp/kg backup /backups/kg1
-    python -m cortex_spark.cli --store /tmp/kg restore /backups/kg1
+    python -m cortex_spark.cli --store /tmp/kg node list --kind decision
+    python -m cortex_spark.cli --store /tmp/kg node create --kind fact --title T --body B
+    python -m cortex_spark.cli --store /tmp/kg edge create --from A --to B --relation related_to
+    python -m cortex_spark.cli --store /tmp/kg traverse <node_id> --depth 2
+    python -m cortex_spark.cli --store /tmp/kg path <from_id> <to_id>
+    python -m cortex_spark.cli --store /tmp/kg export --output /tmp/g --format graphml
+    python -m cortex_spark.cli --store /tmp/kg import nodes.jsonl --source migration
+    python -m cortex_spark.cli --store /tmp/kg audit --since 24h --actor dedup_scanner
+    python -m cortex_spark.cli --store /tmp/kg prompt list
+    python -m cortex_spark.cli --store /tmp/kg agent resolve <agent-name>
+    python -m cortex_spark.cli config validate --config cortex.toml
     python -m cortex_spark.cli security generate-key
+
+Mutations (node create/delete, edge create, import) follow the batch-store
+model: creates APPEND a parquet partition; delete rewrites the node table
+with the tombstone flag (the Iceberg equivalent is a delete file — a
+single-row rewrite here because the local store is plain parquet). Every
+mutation appends a matching audit row ({store}/audit), mirroring the
+reference's policies/audit.rs wiring.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import re
 import sys
+from datetime import datetime, timedelta
+
+_STORE_COMMANDS = {
+    "stats", "search", "neighbors", "briefing", "doctor", "backup", "restore",
+    "node", "edge", "traverse", "path", "export", "import", "audit",
+    "prompt", "agent", "migrate",
+}
+
+SCHEMA_VERSION = 1
+
+
+def _die(msg: str) -> "int":
+    print(json.dumps({"error": msg}), file=sys.stderr)
+    return 2
+
+
+def parse_duration(s: str) -> timedelta:
+    """'24h', '7d', '1h30m' → timedelta (cli/audit.rs:71 parse_duration)."""
+    units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+    total = 0
+    for num, unit in re.findall(r"(\d+)([smhdw])", s.strip()):
+        total += int(num) * units[unit]
+    if total == 0:
+        raise ValueError(f"cannot parse duration {s!r}: expected e.g. '24h', '7d', '1h30m'")
+    return timedelta(seconds=total)
 
 
 def _store_tables(spark, store: str):
@@ -28,16 +71,50 @@ def _store_tables(spark, store: str):
     return nodes, edges
 
 
-def main(argv: list[str] | None = None) -> int:
+def _node_row_json(r) -> dict:
+    d = r.asDict(recursive=True)
+    d.pop("embedding", None)
+    for k in ("created_at", "updated_at", "last_accessed_at"):
+        if d.get(k) is not None:
+            d[k] = str(d[k])
+    return d
+
+
+def _audit_append(spark, store: str, action: str, target_id: str, actor: str = "cli",
+                  details: str | None = None) -> None:
+    from cortex_spark.audit import AUDIT, AuditLog
+
+    now = datetime.utcnow().replace(microsecond=0)
+    row = spark.createDataFrame([(now, action, target_id, actor, details)], AUDIT)
+    AuditLog(f"{store}/audit", spark).append(row)
+
+
+def _overwrite_nodes(spark, store: str, nodes_df) -> None:
+    """Safe in-place rewrite of the node table (tmp write + republish)."""
+    path = f"{store}/canonical_nodes/data"
+    tmp = path + "_tmp"
+    nodes_df.write.mode("overwrite").partitionBy("kind").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").partitionBy("kind").parquet(path)
+
+
+def _refresh(spark, store: str, stage: str) -> None:
+    from cortex_spark.pipeline.checkpoint import CheckpointStore
+
+    CheckpointStore(store, spark).refresh_manifest(stage)
+
+
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="cortex_spark.cli")
     ap.add_argument("--store", default=None, help="pipeline out_dir (checkpoint store)")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--config", default=None, help="cortex.toml path (config commands)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("stats")
     p = sub.add_parser("search")
     p.add_argument("query")
-    p.add_argument("-k", type=int, default=10)
+    p.add_argument("-k", "--limit", type=int, default=10, dest="k")
+    p.add_argument("--hybrid", action="store_true")
     p = sub.add_parser("neighbors")
     p.add_argument("node_id")
     p.add_argument("--direction", default="both", choices=["out", "in", "both"])
@@ -45,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("agent")
     p.add_argument("--compact", action="store_true")
     sub.add_parser("doctor")
+    sub.add_parser("migrate")
     p = sub.add_parser("backup")
     p.add_argument("dest")
     p = sub.add_parser("restore")
@@ -52,33 +130,157 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("security")
     p.add_argument("action", choices=["generate-key"])
 
-    args = ap.parse_args(argv)
+    # node CRUD (cli/node.rs)
+    p = sub.add_parser("node")
+    nsub = p.add_subparsers(dest="node_cmd", required=True)
+    c = nsub.add_parser("create")
+    c.add_argument("--kind", required=True)
+    c.add_argument("--title", required=True)
+    c.add_argument("--body", default="")
+    c.add_argument("--importance", type=float, default=0.5)
+    c.add_argument("--tags", default="", help="comma-separated")
+    c.add_argument("--stdin", action="store_true", help="read body from stdin")
+    c = nsub.add_parser("get")
+    c.add_argument("id")
+    c = nsub.add_parser("list")
+    c.add_argument("--kind", default=None)
+    c.add_argument("--limit", type=int, default=20)
+    c.add_argument("--source", default=None)
+    c = nsub.add_parser("delete")
+    c.add_argument("id")
+    c.add_argument("-y", "--yes", action="store_true")
+    c = nsub.add_parser("stats")
+    c.add_argument("id")
 
-    if args.cmd == "security":  # no SparkSession needed
+    # edge ops (cli/edge.rs)
+    p = sub.add_parser("edge")
+    esub = p.add_subparsers(dest="edge_cmd", required=True)
+    c = esub.add_parser("create")
+    c.add_argument("--from", dest="src", required=True)
+    c.add_argument("--to", dest="dst", required=True)
+    c.add_argument("--relation", required=True)
+    c.add_argument("--weight", type=float, default=1.0)
+    c = esub.add_parser("list")
+    c.add_argument("--node", required=True)
+    c.add_argument("--direction", default="both", choices=["outgoing", "incoming", "both"])
+
+    # traverse / path (cli/traverse.rs)
+    p = sub.add_parser("traverse")
+    p.add_argument("id")
+    p.add_argument("--depth", type=int, default=2)
+    p.add_argument("--direction", default="both", choices=["outgoing", "incoming", "both"])
+    p.add_argument("--relation", default=None)
+    p = sub.add_parser("path")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--max-hops", type=int, default=5)
+
+    # import / export (cli/import.rs, cli/export.rs)
+    p = sub.add_parser("import")
+    p.add_argument("file")
+    p.add_argument("--format", default=None, choices=["json", "jsonl", "csv", "markdown"])
+    p.add_argument("--source", default="import")
+    p.add_argument("--dry-run", action="store_true")
+    p = sub.add_parser("export")
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", default="json", choices=["json", "jsonl", "dot", "graphml"])
+    p.add_argument("--kind", default=None)
+
+    # audit (cli/audit.rs)
+    p = sub.add_parser("audit")
+    p.add_argument("--since", default=None, help="e.g. 24h, 7d, 1h30m")
+    p.add_argument("--node", default=None)
+    p.add_argument("--actor", default=None)
+    p.add_argument("--limit", type=int, default=100)
+
+    # config (cli/config_cmd.rs)
+    p = sub.add_parser("config")
+    p.add_argument("action", choices=["validate", "show"])
+
+    # prompt / agent (cli/prompt.rs, cli/agent.rs — read surface)
+    p = sub.add_parser("prompt")
+    psub = p.add_subparsers(dest="prompt_cmd", required=True)
+    c = psub.add_parser("list")
+    c.add_argument("--branch", default=None)
+    c = psub.add_parser("get")
+    c.add_argument("slug")
+    c.add_argument("--branch", default="main")
+    p = sub.add_parser("agent")
+    asub = p.add_subparsers(dest="agent_cmd", required=True)
+    asub.add_parser("list")
+    c = asub.add_parser("show")
+    c.add_argument("name")
+    c = asub.add_parser("resolve")
+    c.add_argument("name")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # --- no-Spark commands first ---
+    if args.cmd == "security":
         from cortex_spark.crypto import generate_key
 
         print(generate_key())
         return 0
 
-    if args.cmd in ("backup", "restore"):  # filesystem-only
+    if args.cmd == "config":
+        if not args.config:
+            return _die("config commands need --config <cortex.toml>")
+        from cortex_spark.config import load_config
+
+        try:
+            cfg = load_config(args.config)
+        except Exception as e:
+            print(json.dumps({"valid": False, "error": str(e)}))
+            return 1
+        if args.action == "validate":
+            print(json.dumps({"valid": True}))
+        else:
+            import dataclasses
+
+            def plain(o):
+                if dataclasses.is_dataclass(o):
+                    return {k: plain(v) for k, v in dataclasses.asdict(o).items()}
+                return o
+
+            print(json.dumps(plain(cfg), default=str))
+        return 0
+
+    if args.cmd in _STORE_COMMANDS and not args.store:
+        return _die(f"'{args.cmd}' needs --store <pipeline out_dir>")
+
+    # filesystem-only: no SparkSession at all (cli robustness: restore used
+    # to spin up Spark for a pure file copy)
+    if args.cmd == "backup":
         from cortex_spark.ops import backup_store
 
-        if args.cmd == "backup":
-            man = backup_store(args.store, args.dest)
-            print(json.dumps({"backed_up": len(man["files"]), "dest": args.dest}))
-            return 0
-
-    from cortex_spark.session import get_spark
-
-    spark = get_spark("cortex-cli", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-
+        man = backup_store(args.store, args.dest)
+        print(json.dumps({"backed_up": len(man["files"]), "dest": args.dest}))
+        return 0
     if args.cmd == "restore":
         from cortex_spark.ops import restore_store
 
         man = restore_store(args.src, args.store)
         print(json.dumps({"restored": len(man["files"]), "store": args.store}))
         return 0
+    if args.cmd == "migrate":
+        # schema-version stamp (reference `cortex migrate`): records the CLI
+        # data-model version in the store; a real migration would transform
+        # tables between stamps.
+        vfile = os.path.join(args.store, "SCHEMA_VERSION")
+        old = int(open(vfile).read().strip()) if os.path.exists(vfile) else None
+        with open(vfile, "w") as fh:
+            fh.write(str(SCHEMA_VERSION))
+        print(json.dumps({"from": old, "to": SCHEMA_VERSION,
+                          "migrated": old is not None and old != SCHEMA_VERSION}))
+        return 0
+
+    from cortex_spark.session import get_spark
+
+    spark = get_spark("cortex-cli", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
 
     if args.cmd == "doctor":
         from cortex_spark.ops import doctor
@@ -87,21 +289,49 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(results))
         return 0 if all(r["status"] != "error" for r in results) else 1
 
+    if args.cmd == "audit":
+        from cortex_spark.audit import AuditLog
+
+        log = AuditLog(f"{args.store}/audit", spark)
+        since = (datetime.utcnow() - parse_duration(args.since)) if args.since else None
+        df = log.query(actor=args.actor, since=since)
+        if args.node:
+            df = df.filter(df["target_id"] == args.node)
+        rows = df.limit(args.limit).collect()
+        print(json.dumps([
+            {"ts": str(r["ts"]), "action": r["action"], "target_id": r["target_id"],
+             "actor": r["actor"], "details": r["details"]}
+            for r in rows
+        ]))
+        return 0
+
+    if args.cmd == "import":
+        return _cmd_import(spark, args)
+
     nodes, edges = _store_tables(spark, args.store)
+    from pyspark.sql import functions as F
 
     if args.cmd == "stats":
         from cortex_spark.stats import stats
 
         print(json.dumps(stats(nodes, edges), default=str))
     elif args.cmd == "search":
-        from cortex_spark.hybrid import vector_search
+        from cortex_spark.hybrid import hybrid_search, vector_search
 
-        dim = len(nodes.select("embedding").filter("embedding is not null").first()[0])
-        rows = vector_search(nodes, args.query, k=args.k, embed_dim=dim).collect()
+        emb = nodes.select("embedding").filter("embedding is not null").first()
+        if emb is None:
+            return _die("store has no embedded nodes; run the pipeline with embeddings first")
+        dim = len(emb[0])
+        if args.hybrid:
+            hits = hybrid_search(nodes, edges, args.query, limit=args.k, embed_dim=dim)
+            score_col = "combined_score"
+        else:
+            hits = vector_search(nodes, args.query, k=args.k, embed_dim=dim)
+            score_col = "vector_score"
         print(json.dumps([
             {"node_id": r["node_id"], "kind": r["kind"], "title": r["title"],
-             "score": round(float(r["vector_score"]), 6)}
-            for r in rows
+             "score": round(float(r[score_col]), 6)}
+            for r in hits.collect()
         ]))
     elif args.cmd == "neighbors":
         from cortex_spark.graph.traverse import neighbors
@@ -109,8 +339,6 @@ def main(argv: list[str] | None = None) -> int:
         out = neighbors(edges, args.node_id, direction=args.direction).collect()
         print(json.dumps(sorted(r["node_id"] for r in out)))
     elif args.cmd == "briefing":
-        from datetime import datetime
-
         from cortex_spark.briefing import (
             generate_briefing,
             render_briefing_compact,
@@ -120,6 +348,307 @@ def main(argv: list[str] | None = None) -> int:
         report = generate_briefing(nodes, edges, args.agent, now=datetime(2026, 1, 1))
         render = render_briefing_compact if args.compact else render_briefing_markdown
         print(json.dumps({"briefing": render(report, args.agent)}))
+    elif args.cmd == "node":
+        return _cmd_node(spark, args, nodes)
+    elif args.cmd == "edge":
+        return _cmd_edge(spark, args, edges)
+    elif args.cmd == "traverse":
+        from cortex_spark.graph.traverse import bfs
+
+        direction = {"outgoing": "out", "incoming": "in", "both": "both"}[args.direction]
+        vis = bfs(edges, [args.id], max_depth=args.depth, direction=direction,
+                  relation=args.relation)
+        out = (
+            vis.join(nodes.select("node_id", "kind", "title"), "node_id", "left")
+            .orderBy("depth", "node_id")
+            .collect()
+        )
+        print(json.dumps([
+            {"node_id": r["node_id"], "depth": r["depth"], "kind": r["kind"], "title": r["title"]}
+            for r in out
+        ]))
+    elif args.cmd == "path":
+        from cortex_spark.graph.paths import shortest_path_unweighted
+
+        path = shortest_path_unweighted(edges, args.src, args.dst,
+                                        max_depth=args.max_hops, directed=False)
+        print(json.dumps({"path": path, "hops": None if path is None else len(path) - 1}))
+        return 0 if path is not None else 1
+    elif args.cmd == "export":
+        return _cmd_export(args, nodes, edges)
+    elif args.cmd == "prompt":
+        from cortex_spark.prompt_graph import heads, resolve_prompt
+
+        if args.prompt_cmd == "list":
+            h = heads(nodes, edges)
+            if args.branch:
+                h = h.filter(F.col("branch") == args.branch)
+            rows = h.orderBy("slug", "branch").collect()
+            print(json.dumps([
+                {"slug": r["slug"], "branch": r["branch"], "version": r["version"],
+                 "node_id": r["node_id"], "title": r["title"]}
+                for r in rows
+            ]))
+        else:
+            resolved = resolve_prompt(nodes, edges, args.slug, branch=args.branch)
+            if resolved is None:
+                return _die(f"no prompt {args.slug!r} on branch {args.branch!r}")
+            print(json.dumps(resolved, default=str))
+    elif args.cmd == "agent":
+        return _cmd_agent(args, nodes, edges)
+    return 0
+
+
+def _cmd_node(spark, args, nodes) -> int:
+    from pyspark.sql import functions as F
+
+    from cortex_spark.schemas import NODES
+
+    if args.node_cmd == "create":
+        body = sys.stdin.read() if args.stdin else args.body
+        tags = [t for t in args.tags.split(",") if t]
+        now = datetime.utcnow().replace(microsecond=0)
+        import hashlib
+
+        nid = hashlib.sha256(f"{args.title}\x00{body}\x00cli".encode()).hexdigest()[:32]
+        row = spark.createDataFrame(
+            [(nid, args.kind, args.title, body, {}, tags, None, "cli", None, "cli",
+              float(args.importance), 0, now, now, now, False)], NODES)
+        row.write.mode("append").partitionBy("kind").parquet(f"{args.store}/canonical_nodes/data")
+        _refresh(spark, args.store, "canonical_nodes")
+        _audit_append(spark, args.store, "node.created", nid)
+        print(json.dumps({"node_id": nid, "kind": args.kind, "title": args.title}))
+    elif args.node_cmd == "get":
+        r = nodes.filter(F.col("node_id") == args.id).first()
+        if r is None:
+            return _die(f"node {args.id} not found")
+        print(json.dumps(_node_row_json(r)))
+    elif args.node_cmd == "list":
+        df = nodes.filter(~F.col("deleted"))
+        if args.kind:
+            df = df.filter(F.col("kind") == args.kind)
+        if args.source:
+            df = df.filter(F.col("source_agent") == args.source)
+        rows = df.orderBy(F.desc("created_at"), "node_id").limit(args.limit).collect()
+        print(json.dumps([_node_row_json(r) for r in rows]))
+    elif args.node_cmd == "delete":
+        if not args.yes:
+            return _die("refusing to delete without -y/--yes")
+        if nodes.filter(F.col("node_id") == args.id).isEmpty():
+            return _die(f"node {args.id} not found")
+        now = datetime.utcnow().replace(microsecond=0)
+        _overwrite_nodes(spark, args.store, nodes.withColumn(
+            "deleted",
+            F.when(F.col("node_id") == args.id, F.lit(True)).otherwise(F.col("deleted")),
+        ).withColumn(
+            "updated_at",
+            F.when(F.col("node_id") == args.id, F.lit(now)).otherwise(F.col("updated_at")),
+        ))
+        _refresh(spark, args.store, "canonical_nodes")
+        _audit_append(spark, args.store, "node.deleted", args.id)
+        print(json.dumps({"deleted": args.id}))
+    elif args.node_cmd == "stats":
+        r = nodes.filter(F.col("node_id") == args.id).first()
+        if r is None:
+            return _die(f"node {args.id} not found")
+        print(json.dumps({
+            "node_id": r["node_id"], "access_count": r["access_count"],
+            "last_accessed_at": str(r["last_accessed_at"]),
+            "created_at": str(r["created_at"]), "updated_at": str(r["updated_at"]),
+            "importance": float(r["importance"]), "deleted": bool(r["deleted"]),
+        }))
+    return 0
+
+
+def _cmd_edge(spark, args, edges) -> int:
+    from pyspark.sql import functions as F
+
+    from cortex_spark.schemas import EDGES
+
+    if args.edge_cmd == "create":
+        now = datetime.utcnow().replace(microsecond=0)
+        eid = f"{args.src}-{args.dst}-{args.relation}"
+        row = spark.createDataFrame(
+            [(eid, args.src, args.dst, args.relation, float(args.weight),
+              ("manual", None, None), now, now)], EDGES)
+        row.write.mode("append").partitionBy("relation").parquet(f"{args.store}/canonical_edges/data")
+        _refresh(spark, args.store, "canonical_edges")
+        _audit_append(spark, args.store, "edge.created", eid)
+        print(json.dumps({"edge_id": eid}))
+    else:
+        df = edges
+        if args.direction == "outgoing":
+            df = df.filter(F.col("src") == args.node)
+        elif args.direction == "incoming":
+            df = df.filter(F.col("dst") == args.node)
+        else:
+            df = df.filter((F.col("src") == args.node) | (F.col("dst") == args.node))
+        rows = df.orderBy("edge_id").collect()
+        print(json.dumps([
+            {"edge_id": r["edge_id"], "src": r["src"], "dst": r["dst"],
+             "relation": r["relation"], "weight": round(float(r["weight"]), 6)}
+            for r in rows
+        ]))
+    return 0
+
+
+def _cmd_import(spark, args) -> int:
+    from cortex_spark.io import import_nodes_json
+
+    fmt = args.format
+    if fmt is None:  # auto-detect by extension (cli/import.rs)
+        ext = os.path.splitext(args.file)[1].lower()
+        fmt = {".json": "json", ".jsonl": "jsonl", ".csv": "csv",
+               ".md": "markdown", ".markdown": "markdown"}.get(ext)
+        if fmt is None:
+            return _die(f"cannot auto-detect format of {args.file}; pass --format")
+    if fmt in ("json", "jsonl"):
+        out = import_nodes_json(spark, args.file, source=args.source)
+    elif fmt == "csv":
+        raw = spark.read.option("header", True).csv(args.file)
+        tmp = os.path.join(os.path.dirname(os.path.abspath(args.file)) or ".",
+                           "._import_csv_as_jsonl")
+        raw.write.mode("overwrite").json(tmp)
+        out = import_nodes_json(spark, tmp, source=args.source)
+    else:  # markdown: one node; first heading is the title
+        text = open(args.file, encoding="utf-8").read()
+        m = re.search(r"^#+\s*(.+)$", text, re.M)
+        title = m.group(1).strip() if m else os.path.basename(args.file)
+        import hashlib
+
+        nid = hashlib.sha256(f"{title}\x00{text}\x00{args.source}".encode()).hexdigest()[:32]
+        from cortex_spark.schemas import NODES
+
+        now = datetime(2026, 1, 1)
+        out = spark.createDataFrame(
+            [(nid, "fact", title, text, {"imported_from": args.source}, [], None,
+              args.source, None, "import", 0.5, 0, now, now, now, False)], NODES)
+    n = out.count()
+    if args.dry_run:
+        print(json.dumps({"would_import": n, "format": fmt}))
+        return 0
+    out.write.mode("append").partitionBy("kind").parquet(f"{args.store}/canonical_nodes/data")
+    _refresh(spark, args.store, "canonical_nodes")
+    from cortex_spark.audit import audit_entries
+
+    _now = datetime.utcnow().replace(microsecond=0)
+    from cortex_spark.audit import AuditLog
+
+    AuditLog(f"{args.store}/audit", spark).append(
+        audit_entries(out, "node.created", _now, actor=f"import:{args.source}"))
+    print(json.dumps({"imported": n, "format": fmt}))
+    return 0
+
+
+def _cmd_export(args, nodes, edges) -> int:
+    from pyspark.sql import functions as F
+
+    live_nodes = nodes.filter(~F.col("deleted"))
+    if args.kind:
+        live_nodes = live_nodes.filter(F.col("kind") == args.kind)
+        edges = (
+            edges.join(live_nodes.select(F.col("node_id").alias("src")), "src", "left_semi")
+            .join(live_nodes.select(F.col("node_id").alias("dst")), "dst", "left_semi")
+        )
+    if args.format in ("json", "jsonl"):
+        from cortex_spark.io import export_graph
+
+        export_graph(live_nodes, edges, args.output)
+        print(json.dumps({"exported": args.output, "format": args.format}))
+        return 0
+    # dot / graphml are single-document visualization formats: rendered
+    # driver-side (the reference writes one file too); graphs exported for
+    # viz are filtered/small by construction.
+    nrows = live_nodes.select("node_id", "kind", "title").orderBy("node_id").collect()
+    erows = edges.select("src", "dst", "relation", "weight").orderBy("src", "dst", "relation").collect()
+
+    def esc(s):
+        return (s or "").replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+
+    lines: list[str] = []
+    if args.format == "dot":
+        lines.append("digraph cortex {")
+        for r in nrows:
+            label = (r["title"] or r["node_id"]).replace('"', r"\"")
+            lines.append(f'  "{r["node_id"]}" [label="{label}", kind="{r["kind"]}"];')
+        for r in erows:
+            lines.append(f'  "{r["src"]}" -> "{r["dst"]}" [label="{r["relation"]}"];')
+        lines.append("}")
+    else:  # graphml
+        lines.append('<?xml version="1.0" encoding="UTF-8"?>')
+        lines.append('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">')
+        lines.append('<key id="kind" for="node" attr.name="kind" attr.type="string"/>')
+        lines.append('<key id="title" for="node" attr.name="title" attr.type="string"/>')
+        lines.append('<key id="relation" for="edge" attr.name="relation" attr.type="string"/>')
+        lines.append('<key id="weight" for="edge" attr.name="weight" attr.type="double"/>')
+        lines.append('<graph id="cortex" edgedefault="directed">')
+        for r in nrows:
+            lines.append(
+                f'<node id="{esc(r["node_id"])}"><data key="kind">{esc(r["kind"])}</data>'
+                f'<data key="title">{esc(r["title"])}</data></node>')
+        for r in erows:
+            w = 0.0 if r["weight"] is None else float(r["weight"])
+            lines.append(
+                f'<edge source="{esc(r["src"])}" target="{esc(r["dst"])}">'
+                f'<data key="relation">{esc(r["relation"])}</data>'
+                f'<data key="weight">{w:.6f}</data></edge>')
+        lines.append("</graph></graphml>")
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)) or ".", exist_ok=True)
+    with open(args.output, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"exported": args.output, "format": args.format,
+                      "nodes": len(nrows), "edges": len(erows)}))
+    return 0
+
+
+def _cmd_agent(args, nodes, edges) -> int:
+    from pyspark.sql import functions as F
+
+    agents = nodes.filter((F.col("kind") == "agent") & ~F.col("deleted"))
+    if args.agent_cmd == "list":
+        rows = agents.orderBy("title").collect()
+        print(json.dumps([
+            {"node_id": r["node_id"], "name": r["title"],
+             "created_at": str(r["created_at"])}
+            for r in rows
+        ]))
+        return 0
+    a = agents.filter(F.col("title") == args.name).first()
+    if a is None:
+        return _die(f"no agent named {args.name!r}")
+    # prompts bound to the agent: `uses` edges agent → prompt
+    # (prompt/rollback.rs:695-768 — the binding relation is rels::uses())
+    bound = (
+        edges.filter((F.col("src") == a["node_id"]) & (F.col("relation") == "uses"))
+        .join(nodes.select(F.col("node_id").alias("dst"), F.col("title").alias("prompt_title"),
+                           F.get_json_object("body", "$.slug").alias("slug"),
+                           F.coalesce(F.get_json_object("body", "$.branch"),
+                                      F.lit("main")).alias("branch")), "dst")
+        .orderBy(F.desc("weight"), "dst")
+        .collect()
+    )
+    if args.agent_cmd == "show":
+        print(json.dumps({
+            "agent": args.name, "node_id": a["node_id"],
+            "prompts": [
+                {"node_id": r["dst"], "title": r["prompt_title"],
+                 "weight": round(float(r["weight"]), 6)}
+                for r in bound
+            ],
+        }))
+        return 0
+    # resolve: concatenate bound prompt bodies weight-desc (the batch
+    # analogue of the reference's effective-prompt assembly)
+    from cortex_spark.prompt_graph import resolve_prompt
+
+    parts = []
+    for r in bound:
+        resolved = (
+            resolve_prompt(nodes, edges, r["slug"], branch=r["branch"]) if r["slug"] else None
+        )
+        parts.append({"prompt": r["prompt_title"], "weight": round(float(r["weight"]), 6),
+                      "resolved": resolved})
+    print(json.dumps({"agent": args.name, "effective": parts}, default=str))
     return 0
 
 

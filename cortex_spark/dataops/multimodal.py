@@ -83,8 +83,11 @@ def _parse_pnm(content: bytes) -> tuple[int, int, int, np.ndarray]:
     the netpbm spec."""
     magic = content[:2]
     channels = {b"P6": 3, b"P5": 1}[magic]
+    n = len(content)
     pos, tokens = 2, []
     while len(tokens) < 3:
+        if pos >= n:
+            raise ValueError("truncated netpbm header")
         ch = content[pos : pos + 1]
         if ch == b"#":
             pos = content.index(b"\n", pos) + 1
@@ -92,8 +95,10 @@ def _parse_pnm(content: bytes) -> tuple[int, int, int, np.ndarray]:
             pos += 1
         else:
             end = pos
-            while not content[end : end + 1].isspace():
+            while end < n and not content[end : end + 1].isspace():
                 end += 1
+            if end == n:
+                raise ValueError("truncated netpbm header")
             tokens.append(int(content[pos:end]))
             pos = end
     w, h, maxval = tokens

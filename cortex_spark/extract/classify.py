@@ -51,12 +51,14 @@ def classify_py(text: str) -> str:
 
 
 def title_col(text: Column) -> Column:
-    """First line, '#'-stripped, trimmed, capped at TITLE_MAX_BYTES *bytes*
-    on a UTF-8 boundary — exact reference byte-truncation semantics
-    (`truncate_utf8`), native: when the 200-byte prefix would split a
-    multi-byte char, back up to the last non-continuation byte (≤ 3 steps,
-    UTF-8 chars are ≤ 4 bytes). Char-based substring would diverge from
-    the Rust reference on any non-ASCII page."""
+    """First line, '#'-stripped, trimmed, capped at TITLE_MAX_BYTES *bytes*.
+    The reference (briefing/ingest.rs:108) does a raw `title[..200]` byte
+    slice, which PANICS when byte 200 splits a multi-byte char; this engine
+    deliberately diverges by backing up to the previous UTF-8 boundary
+    instead of failing the row (≤ 3 steps back — UTF-8 chars are ≤ 4
+    bytes). On any input the reference survives (boundary at 200, or pure
+    ASCII) the two agree byte-for-byte; on inputs that would panic the
+    reference, this yields the longest valid-UTF-8 prefix ≤ 200 bytes."""
     first = F.trim(F.split_part(text, F.lit("\n"), F.lit(1)))
     stripped = F.trim(F.regexp_replace(first, r"^#+", ""))
     raw = stripped.cast("binary")

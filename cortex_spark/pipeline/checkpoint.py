@@ -118,3 +118,36 @@ class CheckpointStore:
         with open(self.manifest_path(stage), "w") as f:
             json.dump(man, f, indent=1, sort_keys=True)
         return out, StageResult(stage, data_dir, rows, False, metrics)
+
+    def refresh_manifest(self, stage: str) -> dict | None:
+        """Re-stamp rows + per-file lineage after an out-of-band mutation
+        (CLI node/edge create, import) so doctor's manifest check stays
+        truthful. Keeps the stage's config_hash."""
+        man = self.read_manifest(stage)
+        if man is None:
+            return None
+        data_dir = os.path.join(self._dir(stage), "data")
+        out = self.spark.read.parquet(data_dir)
+        rows = out.count()
+
+        def _local_path(uri: str) -> str:
+            if uri.startswith("file:"):
+                uri = uri[len("file:") :]
+                while uri.startswith("//"):
+                    uri = uri[1:]
+            return uri
+
+        man["rows"] = rows
+        man["metrics"]["rows"] = rows
+        man["lineage"] = sorted(
+            (
+                {"file": os.path.relpath(_local_path(r["file"]), data_dir), "rows": r["rows"]}
+                for r in out.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            ),
+            key=lambda e: e["file"],
+        )
+        with open(self.manifest_path(stage), "w") as f:
+            json.dump(man, f, indent=1, sort_keys=True)
+        return man

@@ -127,10 +127,15 @@ def stream_agent_state(spark: SparkSession, source_dir: str, out_dir: str):
         fresh = batch_df.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return
-        try:
+        # First-run detection by path existence, NOT a bare except: a
+        # transient read failure must propagate (batch retries) rather
+        # than silently overwrite the store with only this batch's agents.
+        if os.path.exists(os.path.join(stats_dir, "_SUCCESS")) or (
+            os.path.isdir(stats_dir) and any(f.endswith(".parquet") for f in os.listdir(stats_dir))
+        ):
             old = spark.read.parquet(stats_dir)
             merged = old.join(fresh.select("agent"), "agent", "left_anti").unionByName(fresh)
-        except Exception:
+        else:
             merged = fresh
         merged.write.mode("overwrite").parquet(stats_dir + "_tmp")
         out = spark.read.parquet(stats_dir + "_tmp")

@@ -3,9 +3,11 @@ relations.rs, types.rs:76-95/186-205).
 
 Reference rules: NodeKind = non-empty lowercase alphanumeric + hyphens
 ONLY; Relation = non-empty lowercase alphanumeric + underscores ONLY.
-([kinds]/[relations] in cortex.toml may widen the *allowed list*; the
-character rules are fixed — config.py's looser name check mirrors the
-toml-comment contract, this module mirrors the type constructors.)
+([kinds]/[relations] in cortex.toml may widen the *allowed list*; when an
+explicit allowed list is supplied, membership in it is the whole check —
+the reference's own cortex.example.toml lists 'relates-to', which the
+types.rs character rule would reject, so explicit config wins. The
+character rules apply only when no allowed list is configured.)
 
 validate_vocab applies the quarantine pattern: syntactically invalid
 values (or values outside an explicit allowed list) split into a rejected
@@ -55,12 +57,19 @@ def validate_vocab(
     allowed_relations: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Returns (nodes_ok, nodes_rejected, edges_ok, edges_rejected)."""
-    kind_ok = kind_valid_col("kind")
+    # Explicit allowed-list membership overrides the syntactic rule: the
+    # reference's own cortex.example.toml lists 'relates-to' under
+    # [relations] even though types.rs would reject the hyphen, so a
+    # deployment's explicit vocabulary must win over the character rule
+    # (otherwise every edge using that relation is silently quarantined).
     if allowed_kinds is not None:
-        kind_ok = kind_ok & F.col("kind").isin(allowed_kinds)
-    rel_ok = relation_valid_col("relation")
+        kind_ok = F.col("kind").isin(allowed_kinds)
+    else:
+        kind_ok = kind_valid_col("kind")
     if allowed_relations is not None:
-        rel_ok = rel_ok & F.col("relation").isin(allowed_relations)
+        rel_ok = F.col("relation").isin(allowed_relations)
+    else:
+        rel_ok = relation_valid_col("relation")
     n_ok, n_bad = _split(nodes, kind_ok, "invalid or disallowed kind")
     e_ok, e_bad = _split(edges, rel_ok, "invalid or disallowed relation")
     return n_ok, n_bad, e_ok, e_bad

@@ -170,3 +170,12 @@ def test_vocab_validation_split(spark, nodes_df_factory, edges_df_factory):
     assert {r["node_id"] for r in n_ok2.collect()} == {"a"}
     assert n_bad2.count() == 2
     assert "related_to" in DEFAULT_RELATIONS and "fact" in DEFAULT_KINDS
+
+    # explicit allowed-list membership overrides the syntactic rule:
+    # cortex.example.toml ships 'relates-to' under [relations], so a
+    # config-listed hyphenated relation must validate, not quarantine
+    _, _, e_ok3, e_bad3 = validate_vocab(
+        nodes, edges, allowed_relations=["related_to", "x-y"]
+    )
+    assert {r["relation"] for r in e_ok3.collect()} == {"related_to", "x-y"}
+    assert e_bad3.count() == 0
