@@ -84,6 +84,20 @@ def ann_topk_lsh(
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _ivf_sample(corpus, vec_col: str, corpus_id: str, sample_cap: int, seed: int, n: int):
+    """The quantizer-fit sample query: hash-threshold filter to ~2×cap
+    survivors, then TakeOrderedAndProject over that tiny set. No Exchange,
+    no global Sort anywhere in the plan (pytest-audited)."""
+    h = F.xxhash64(F.col(corpus_id).cast("string"), F.lit(seed))
+    k = max(1, n // (2 * sample_cap))
+    return (
+        corpus.select(F.col(vec_col).alias("v"), F.col(corpus_id).alias("i"))
+        .filter(F.pmod(h, F.lit(k)) == 0)
+        .orderBy(h)
+        .limit(sample_cap)
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -93,16 +107,18 @@ def fit_ivf_centroids(
     iters: int = 8,
     seed: int = 7,
 ):
-    """Spherical k-means on a deterministic hash-ordered sample (driver-side
-    Lloyd iterations — the coarse quantizer is always sample-trained; only
-    assignment is distributed). Returns an L2-normalized (n_centroids, dim)
-    float32 numpy array."""
-    sample = (
-        corpus.select(F.col(vec_col).alias("v"), F.col(corpus_id).alias("i"))
-        .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
-        .limit(sample_cap)
-        .collect()
-    )
+    """Spherical k-means on a deterministic hash-thresholded sample
+    (driver-side Lloyd iterations — the coarse quantizer is always
+    sample-trained; only assignment is distributed). Returns an
+    L2-normalized (n_centroids, dim) float32 numpy array.
+
+    Sampling never total-orders the corpus: a pmod(xxhash64) filter keeps
+    ~2×sample_cap rows (id-deterministic, partition-layout-independent),
+    and only that small survivor set goes through TakeOrderedAndProject.
+    The old orderBy-then-limit kept a sample_cap heap per partition and
+    merged num_partitions×cap rows on the driver — a real job at 100 TB."""
+    n = corpus.count()  # metadata-backed count: no shuffle, no sort
+    sample = _ivf_sample(corpus, vec_col, corpus_id, sample_cap, seed, n).collect()
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

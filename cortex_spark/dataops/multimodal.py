@@ -7,9 +7,13 @@ signatures over `mapInPandas` — is real and tested. Codecs:
 - REAL, dependency-free: PPM/PGM images (P6/P5 binary netpbm, numpy
   parse incl. comment handling) and PCM WAV audio (stdlib `wave`) —
   genuine decode → feature-extract paths with no external libraries.
-- STUBBED: compressed formats (JPEG/PNG/MP3/MP4) raise
-  NotImplementedError (this container has no PIL/ffmpeg); swapping them
-  in is a local change inside `_decode_one` / `_decode_wav`.
+- OPTIONAL-DEPENDENCY SEAM: compressed formats light up automatically
+  when the decoding library is importable on the executors — PIL for
+  JPEG/PNG/WebP images, soundfile for FLAC/OGG/MP3 audio, PyAV for
+  MP4/MKV video. Where the library is absent (this container), the same
+  code path raises NotImplementedError and the row quarantines into the
+  `error` column — identical plumbing either way, both branches tested
+  (the real-codec tests are skipif-marked on the import).
 - Fake format (tests/bench): b"FAKEIMG!" + width:u32be + height:u32be +
   channels:u8 + payload.
 
@@ -28,6 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 MAGIC = b"FAKEIMG!"
+
+# Optional compressed-codec backends: resolved once per process (executors
+# re-import this module inside the serialized UDF closure, so availability
+# is evaluated where the decode actually runs).
+try:  # images: JPEG/PNG/WebP/...
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+try:  # audio: FLAC/OGG/MP3 (libsndfile-backed)
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
+try:  # video: MP4/MKV/... (ffmpeg-backed)
+    import av as _pyav
+except ImportError:
+    _pyav = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -116,8 +136,20 @@ def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
         return w, h, c, arr
     if content[:2] in (b"P6", b"P5"):
         return _parse_pnm(content)
-    # compressed codecs live here (PIL.Image.open(io.BytesIO(content)) etc.)
-    raise NotImplementedError("compressed image codecs not available in this environment")
+    if _PIL_Image is not None:  # compressed codecs via the optional seam
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(content))
+        if img.mode not in ("RGB", "L"):
+            img = img.convert("RGB")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        return w, h, c, arr
+    raise NotImplementedError(
+        "compressed image codecs need the optional PIL dependency (absent here)"
+    )
 
 
 def decode_and_featurize(media: DataFrame, resize_to: tuple[int, int] | None = None) -> DataFrame:
@@ -177,12 +209,30 @@ def encode_wav(n_samples: int, rate: int = 16000, freq: float = 440.0, channels:
     return buf.getvalue()
 
 
+def _audio_features(mono: np.ndarray, nch: int, rate: int, nframes: int):
+    duration_ms = int(round(nframes * 1000.0 / rate))
+    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    return nch, rate, duration_ms, rms, zcr
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
     """REAL PCM WAV decode via the stdlib `wave` module — no external
-    libraries. Returns (channels, rate, duration_ms, rms, zero-crossing
-    rate) over the downmixed signal."""
+    libraries. Compressed audio (FLAC/OGG/MP3) routes through the optional
+    soundfile seam when importable, NotImplementedError-quarantines when
+    not. Returns (channels, rate, duration_ms, rms, zero-crossing rate)
+    over the downmixed signal."""
     import io
     import wave
+
+    if content[:4] != b"RIFF":  # compressed container → optional seam
+        if _soundfile is not None:
+            data, rate = _soundfile.read(io.BytesIO(content), dtype="float64", always_2d=True)
+            mono = data.mean(axis=1)
+            return _audio_features(mono, data.shape[1], rate, len(data))
+        raise NotImplementedError(
+            "compressed audio codecs need the optional soundfile dependency (absent here)"
+        )
 
     with wave.open(io.BytesIO(content)) as wf:
         nch, sw, rate, nframes = (
@@ -199,10 +249,7 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
     else:
         raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
     mono = arr.reshape(-1, nch).mean(axis=1)
-    duration_ms = int(round(nframes * 1000.0 / rate))
-    rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
-    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
-    return nch, rate, duration_ms, rms, zcr
+    return _audio_features(mono, nch, rate, nframes)
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
@@ -242,13 +289,38 @@ def encode_y4m(width: int, height: int, n_frames: int, fps: int = 25, seed: int 
     return b"".join(parts)
 
 
+def _parse_av(content: bytes):
+    """PyAV-backed decode of compressed video containers (MP4/MKV/...),
+    returning the same (w, h, fps_num, fps_den, lumas) shape as the y4m
+    parser so downstream frame sampling is codec-agnostic."""
+    import io
+
+    with _pyav.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        rate = stream.average_rate or 25
+        fps_num, fps_den = rate.numerator, rate.denominator
+        w = h = None
+        lumas = []
+        for frame in container.decode(stream):
+            gray = frame.reformat(format="gray").to_ndarray()
+            h, w = gray.shape
+            lumas.append(gray)
+    if w is None:
+        raise ValueError("video stream decoded no frames")
+    return w, h, fps_num, fps_den, lumas
+
+
 def _parse_y4m(content: bytes):
     """REAL YUV4MPEG2 parse (numpy only): header tokens → (w, h, fps),
     frames → luma planes. Raises on anything that isn't well-formed y4m."""
     nl = content.index(b"\n")
     tokens = content[:nl].split(b" ")
     if tokens[0] != b"YUV4MPEG2":
-        raise NotImplementedError("compressed video codecs not available in this environment")
+        if _pyav is not None:  # compressed containers via the optional seam
+            return _parse_av(content)
+        raise NotImplementedError(
+            "compressed video codecs need the optional PyAV dependency (absent here)"
+        )
     w = h = None
     fps_num, fps_den = 25, 1
     for t in tokens[1:]:

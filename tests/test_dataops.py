@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -173,6 +175,29 @@ def test_ann_ivf_recall_vs_bruteforce(spark, embs):
     c1 = fit_ivf_centroids(embs, n_centroids=16, seed=7)
     c2 = fit_ivf_centroids(embs, n_centroids=16, seed=7)
     assert (c1 == c2).all()
+
+
+def test_ivf_sample_plan_has_no_shuffle_or_global_sort(spark, embs):
+    """Quantizer fitting must never total-order the corpus: the sample
+    query is a pushed hash-threshold filter + TakeOrderedAndProject over
+    the ~2×cap survivors — no Exchange, no Sort operator in the plan."""
+    from cortex_spark.dataops.ann import _ivf_sample
+
+    n = embs.count()
+    df = _ivf_sample(embs, "embedding", "vec_id", 64, seed=7, n=n)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    ops = [l for l in plan.splitlines() if l.strip().startswith(("+-", "*("))] or plan.splitlines()
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # no standalone Sort operator (TakeOrderedAndProject is a bounded heap)
+    assert not any(re.search(r"\bSort\b", l) for l in ops if "TakeOrdered" not in l), plan
+    # the survivor set is the expected ~2×cap slice and fitting stays
+    # deterministic across partition layouts
+    small = df.collect()
+    re4 = _ivf_sample(embs.repartition(13), "embedding", "vec_id", 64, seed=7, n=n).collect()
+    assert [r["i"] for r in small] == [r["i"] for r in re4]
 
 
 def test_ivf_index_store_prunes_partitions(spark, embs, tmp_path):

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from cortex_spark.dataops.multimodal import (
     MEDIA_SCHEMA,
     decode_and_featurize,
@@ -33,10 +35,19 @@ def test_resize_plumbing(spark):
 
 
 def test_real_codec_stub_quarantines(spark):
+    """Without the optional codec libs, compressed payloads quarantine (the
+    seam's fallback branch — this container has no PIL/soundfile/PyAV);
+    with a lib present the same bytes would decode for real instead."""
     df = _media_df(spark, [("m1", "image", b"\x89PNG\r\n realbytes", ("image/png", None, None, None, None))])
     r = decode_and_featurize(df).first()
-    assert r["features"] is None
-    assert "not available" in r["error"] or "decode_error" in r["error"]
+    try:
+        import PIL  # noqa: F401
+
+        # lib present: truncated PNG header is a decode error, not a stub
+        assert r["error"] is not None
+    except ImportError:
+        assert r["features"] is None
+        assert "optional" in r["error"] or "decode_error" in r["error"]
 
 
 def test_frame_sampling(spark):
@@ -147,3 +158,73 @@ def test_y4m_real_video_decode(spark):
     assert abs(ok[1][2] - float(lumas[5].mean()) / 255.0) < 1e-9
     bad = [r for r in out if r["media_id"] == "v2"]
     assert len(bad) == 1 and bad[0]["error"] is not None
+
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="optional PIL dependency absent")
+def test_png_real_decode_via_optional_seam(spark):
+    """With PIL importable, a real PNG flows through the SAME decode path
+    (no code change) and produces exact per-channel means."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # red-ish constant image -> known channel means
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    df = _media_df(spark, [("p1", "image", buf.getvalue(), ("image/png", 6, 4, 3, None))])
+    r = decode_and_featurize(df).first()
+    assert r["error"] is None and (r["width"], r["height"], r["channels"]) == (6, 4, 3)
+    assert abs(r["features"][0] - 200 / 255.0) < 1e-9 and r["features"][1] == 0.0
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="optional soundfile dependency absent")
+def test_flac_real_decode_via_optional_seam(spark):
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    t = np.arange(16000) / 16000.0
+    buf = io.BytesIO()
+    sf.write(buf, np.sin(2 * np.pi * 440 * t), 16000, format="FLAC")
+    df = _media_df(spark, [("f1", "audio", buf.getvalue(), ("audio/flac", None, None, 1, 1000))])
+    from cortex_spark.dataops.multimodal import decode_audio_features
+
+    r = decode_audio_features(df).first()
+    assert r["error"] is None and r["duration_ms"] == 1000 and r["sample_rate"] == 16000
+
+
+@pytest.mark.skipif(not _has("av"), reason="optional PyAV dependency absent")
+def test_mp4_real_decode_via_optional_seam(spark):
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=25)
+        stream.width, stream.height = 64, 48
+        stream.pix_fmt = "yuv420p"
+        for i in range(10):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((48, 64, 3), i * 20, dtype=np.uint8), format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    from cortex_spark.dataops.multimodal import decode_video_frames
+
+    df = _media_df(spark, [("m4", "video", buf.getvalue(), ("video/mp4", 64, 48, None, 400))])
+    out = [r for r in decode_video_frames(df, every_ms=200).collect() if r["error"] is None]
+    assert out and all(r["width"] == 64 and r["height"] == 48 for r in out)
