@@ -197,7 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("config")
     p.add_argument("action", choices=["validate", "show"])
 
-    # prompt / agent (cli/prompt.rs, cli/agent.rs — read surface)
+    # prompt (cli/prompt.rs PromptCommands)
     p = sub.add_parser("prompt")
     psub = p.add_subparsers(dest="prompt_cmd", required=True)
     c = psub.add_parser("list")
@@ -205,6 +205,25 @@ def build_parser() -> argparse.ArgumentParser:
     c = psub.add_parser("get")
     c.add_argument("slug")
     c.add_argument("--branch", default="main")
+    c = psub.add_parser("migrate")
+    c.add_argument("file")
+    c.add_argument("--dry-run", action="store_true")
+    c = psub.add_parser("performance")
+    c.add_argument("slug")
+    c.add_argument("--limit", type=int, default=50)
+    c = psub.add_parser("deploy")
+    c.add_argument("slug")
+    c.add_argument("--branch", default="main")
+    c.add_argument("--agent-name", required=True)
+    c.add_argument("--baseline-sample-size", type=int, default=20)
+    c = psub.add_parser("rollback-status")
+    c.add_argument("slug")
+    c.add_argument("--branch", default="main")
+    c = psub.add_parser("unquarantine")
+    c.add_argument("slug")
+    c.add_argument("--branch", default="main")
+
+    # agent (cli/agent.rs AgentCommands)
     p = sub.add_parser("agent")
     asub = p.add_subparsers(dest="agent_cmd", required=True)
     asub.add_parser("list")
@@ -212,6 +231,32 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("name")
     c = asub.add_parser("resolve")
     c.add_argument("name")
+    c = asub.add_parser("bind")
+    c.add_argument("name")
+    c.add_argument("slug")
+    c.add_argument("--weight", type=float, default=1.0)
+    c = asub.add_parser("unbind")
+    c.add_argument("name")
+    c.add_argument("slug")
+    c = asub.add_parser("select")
+    c.add_argument("name")
+    c.add_argument("--sentiment", type=float, default=0.5)
+    c.add_argument("--task-type", default="casual")
+    c.add_argument("--correction-rate", type=float, default=0.0)
+    c.add_argument("--topic-shift", type=float, default=0.0)
+    c.add_argument("--energy", type=float, default=0.5)
+    c.add_argument("--epsilon", type=float, default=0.2)
+    c = asub.add_parser("observe")
+    c.add_argument("name")
+    c.add_argument("--variant-id", required=True)
+    c.add_argument("--variant-slug", default="")
+    c.add_argument("--sentiment-score", type=float, default=0.5)
+    c.add_argument("--correction-count", type=int, default=0)
+    c.add_argument("--task-outcome", default="unknown",
+                   choices=["success", "partial", "failure", "unknown"])
+    c = asub.add_parser("history")
+    c.add_argument("name")
+    c.add_argument("--limit", type=int, default=20)
     return ap
 
 
@@ -377,25 +422,173 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "export":
         return _cmd_export(args, nodes, edges)
     elif args.cmd == "prompt":
-        from cortex_spark.prompt_graph import heads, resolve_prompt
-
-        if args.prompt_cmd == "list":
-            h = heads(nodes, edges)
-            if args.branch:
-                h = h.filter(F.col("branch") == args.branch)
-            rows = h.orderBy("slug", "branch").collect()
-            print(json.dumps([
-                {"slug": r["slug"], "branch": r["branch"], "version": r["version"],
-                 "node_id": r["node_id"], "title": r["title"]}
-                for r in rows
-            ]))
-        else:
-            resolved = resolve_prompt(nodes, edges, args.slug, branch=args.branch)
-            if resolved is None:
-                return _die(f"no prompt {args.slug!r} on branch {args.branch!r}")
-            print(json.dumps(resolved, default=str))
+        return _cmd_prompt(spark, args, nodes, edges)
     elif args.cmd == "agent":
-        return _cmd_agent(args, nodes, edges)
+        return _cmd_agent(spark, args, nodes, edges)
+    return 0
+
+
+def _obs_path(store: str) -> str:
+    return f"{store}/prompt_observations"
+
+
+def _deploy_path(store: str, slug: str, branch: str) -> str:
+    import os
+
+    d = os.path.join(store, "deployments")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{slug}__{branch}.json")
+
+
+def _read_obs(spark, store: str):
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("agent", T.StringType()),
+        T.StructField("slug", T.StringType()),
+        T.StructField("variant_id", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("sentiment", T.DoubleType()),
+        T.StructField("correction_count", T.LongType()),
+        T.StructField("task_outcome", T.StringType()),
+        T.StructField("obs_score", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    p = _obs_path(store)
+    if os.path.isdir(p):
+        return spark.read.parquet(p)
+    return spark.createDataFrame([], schema)
+
+
+def _cmd_prompt(spark, args, nodes, edges) -> int:
+    from pyspark.sql import functions as F
+
+    from cortex_spark.prompt_graph import heads, resolve_prompt
+
+    if args.prompt_cmd == "list":
+        h = heads(nodes, edges)
+        if args.branch:
+            h = h.filter(F.col("branch") == args.branch)
+        rows = h.orderBy("slug", "branch").collect()
+        print(json.dumps([
+            {"slug": r["slug"], "branch": r["branch"], "version": r["version"],
+             "node_id": r["node_id"], "title": r["title"]}
+            for r in rows
+        ]))
+    elif args.prompt_cmd == "get":
+        resolved = resolve_prompt(nodes, edges, args.slug, branch=args.branch)
+        if resolved is None:
+            return _die(f"no prompt {args.slug!r} on branch {args.branch!r}")
+        print(json.dumps(resolved, default=str))
+    elif args.prompt_cmd == "migrate":
+        # migration JSON: [{"slug": ..., "sections": {...}, "branch"?,
+        # "type"?}, ...] (cli/prompt.rs PromptMigrateArgs)
+        from datetime import datetime as _dt
+
+        from cortex_spark.prompt_graph import create_prompt, create_version, prompt_cols
+
+        spec = json.load(open(args.file))
+        if args.dry_run:
+            print(json.dumps({"would_import": len(spec)}))
+            return 0
+        now = _dt.utcnow().replace(microsecond=0)
+        n_cur, e_cur = nodes, edges
+        imported = []
+        for item in spec:
+            slug, branch = item["slug"], item.get("branch", "main")
+            exists = not prompt_cols(n_cur).filter(
+                (F.col("slug") == slug) & (F.col("branch") == branch)).isEmpty()
+            fn = create_version if exists else create_prompt
+            kwargs = {} if exists else {"prompt_type": item.get("type", "persona")}
+            n_cur, e_cur, pid = fn(
+                n_cur, e_cur, slug, item.get("sections", {}), "migration", now,
+                branch=branch, **kwargs)
+            imported.append({"slug": slug, "branch": branch, "node_id": pid})
+        new_nodes = n_cur.join(nodes.select("node_id"), "node_id", "left_anti")
+        new_edges = e_cur.join(edges.select("edge_id"), "edge_id", "left_anti")
+        new_nodes.write.mode("append").partitionBy("kind").parquet(
+            f"{args.store}/canonical_nodes/data")
+        if not new_edges.isEmpty():
+            new_edges.write.mode("append").partitionBy("relation").parquet(
+                f"{args.store}/canonical_edges/data")
+            _refresh(spark, args.store, "canonical_edges")
+        _refresh(spark, args.store, "canonical_nodes")
+        for item in imported:
+            _audit_append(spark, args.store, "node.created", item["node_id"],
+                          actor="prompt-migrate")
+        print(json.dumps({"imported": imported}))
+    elif args.prompt_cmd == "performance":
+        obs = _read_obs(spark, args.store).filter(F.col("slug") == args.slug)
+        rows = obs.orderBy(F.desc("seq")).limit(args.limit)
+        agg = rows.groupBy("variant_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("obs_score"), 6).alias("avg_score"),
+            F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+            F.round(F.avg("correction_count"), 6).alias("avg_corrections"),
+        ).orderBy("variant_id").collect()
+        print(json.dumps([r.asDict() for r in agg]))
+    elif args.prompt_cmd == "deploy":
+        from cortex_spark.prompt_graph import compute_baseline_stats
+
+        obs = (
+            _read_obs(spark, args.store).filter(F.col("slug") == args.slug)
+            .orderBy(F.desc("seq")).limit(args.baseline_sample_size).collect()
+        )
+        samples = [(min(r["correction_count"] * 0.1, 1.0), r["sentiment"]) for r in obs]
+        mc, sc, ms, ss = compute_baseline_stats(samples)
+        record = {
+            "slug": args.slug, "branch": args.branch, "agent_name": args.agent_name,
+            "baseline": {"mean_correction": mc, "std_correction": sc,
+                         "mean_sentiment": ms, "std_sentiment": ss},
+            "baseline_n": len(samples), "quarantined": False, "seq_at_deploy":
+            max((r["seq"] for r in obs), default=0),
+        }
+        with open(_deploy_path(args.store, args.slug, args.branch), "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(json.dumps(record))
+    elif args.prompt_cmd == "rollback-status":
+        import os
+
+        from cortex_spark.prompt_graph import first_trigger, monitor_observations
+
+        path = _deploy_path(args.store, args.slug, args.branch)
+        if not os.path.exists(path):
+            return _die(f"no deployment recorded for {args.slug!r} on {args.branch!r}")
+        record = json.load(open(path))
+        b = record["baseline"]
+        baseline = (b["mean_correction"], b["std_correction"],
+                    b["mean_sentiment"], b["std_sentiment"])
+        obs = (
+            _read_obs(spark, args.store)
+            .filter((F.col("slug") == args.slug) & (F.col("seq") > record["seq_at_deploy"]))
+            .select(
+                "seq",
+                F.least(F.col("correction_count") * 0.1, F.lit(1.0)).alias("correction_rate"),
+                F.col("sentiment"), F.col("obs_score"),
+            )
+        )
+        trigger = None
+        if not obs.isEmpty():
+            trigger = first_trigger(monitor_observations(obs, baseline))
+        print(json.dumps({
+            "slug": args.slug, "branch": args.branch,
+            "quarantined": record.get("quarantined", False),
+            "observations_since_deploy": obs.count(),
+            "trigger": trigger,
+        }, default=str))
+    elif args.prompt_cmd == "unquarantine":
+        import os
+
+        path = _deploy_path(args.store, args.slug, args.branch)
+        if not os.path.exists(path):
+            return _die(f"no deployment recorded for {args.slug!r} on {args.branch!r}")
+        record = json.load(open(path))
+        record["quarantined"] = False
+        with open(path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(json.dumps({"slug": args.slug, "quarantined": False}))
     return 0
 
 
@@ -601,7 +794,14 @@ def _cmd_export(args, nodes, edges) -> int:
     return 0
 
 
-def _cmd_agent(args, nodes, edges) -> int:
+def _overwrite_edges(spark, store: str, edges_df) -> None:
+    path = f"{store}/canonical_edges/data"
+    tmp = path + "_tmp"
+    edges_df.write.mode("overwrite").partitionBy("relation").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").partitionBy("relation").parquet(path)
+
+
+def _cmd_agent(spark, args, nodes, edges) -> int:
     from pyspark.sql import functions as F
 
     agents = nodes.filter((F.col("kind") == "agent") & ~F.col("deleted"))
@@ -616,6 +816,51 @@ def _cmd_agent(args, nodes, edges) -> int:
     a = agents.filter(F.col("title") == args.name).first()
     if a is None:
         return _die(f"no agent named {args.name!r}")
+
+    if args.agent_cmd in ("bind", "unbind"):
+        from datetime import datetime as _dt
+
+        from cortex_spark.prompt_graph import heads
+        from cortex_spark.schemas import EDGES
+
+        head = heads(nodes, edges).filter(F.col("slug") == args.slug).first()
+        if head is None:
+            return _die(f"no prompt with slug {args.slug!r}")
+        eid_existing = (
+            edges.filter((F.col("src") == a["node_id"]) & (F.col("dst") == head["node_id"])
+                         & (F.col("relation") == "uses")).select("edge_id").first()
+        )
+        if args.agent_cmd == "unbind":
+            if eid_existing is None:
+                return _die(f"{args.name!r} has no binding to {args.slug!r}")
+            _overwrite_edges(spark, args.store,
+                             edges.filter(F.col("edge_id") != eid_existing[0]))
+            _refresh(spark, args.store, "canonical_edges")
+            _audit_append(spark, args.store, "edge.pruned", eid_existing[0], actor="agent-unbind")
+            print(json.dumps({"unbound": args.slug, "agent": args.name}))
+            return 0
+        now = _dt.utcnow().replace(microsecond=0)
+        if eid_existing is not None:  # update weight in place
+            updated = edges.withColumn(
+                "weight",
+                F.when(F.col("edge_id") == eid_existing[0],
+                       F.lit(float(args.weight)).cast("float")).otherwise(F.col("weight")),
+            )
+            _overwrite_edges(spark, args.store, updated)
+            eid = eid_existing[0]
+        else:
+            eid = f"{a['node_id']}-{head['node_id']}-uses"
+            row = spark.createDataFrame(
+                [(eid, a["node_id"], head["node_id"], "uses", float(args.weight),
+                  ("manual", None, None), now, now)], EDGES)
+            row.write.mode("append").partitionBy("relation").parquet(
+                f"{args.store}/canonical_edges/data")
+        _refresh(spark, args.store, "canonical_edges")
+        _audit_append(spark, args.store, "edge.created", eid, actor="agent-bind")
+        print(json.dumps({"bound": args.slug, "agent": args.name,
+                          "weight": float(args.weight), "edge_id": eid}))
+        return 0
+
     # prompts bound to the agent: `uses` edges agent → prompt
     # (prompt/rollback.rs:695-768 — the binding relation is rels::uses())
     bound = (
@@ -637,18 +882,122 @@ def _cmd_agent(args, nodes, edges) -> int:
             ],
         }))
         return 0
-    # resolve: concatenate bound prompt bodies weight-desc (the batch
-    # analogue of the reference's effective-prompt assembly)
-    from cortex_spark.prompt_graph import resolve_prompt
+    if args.agent_cmd == "resolve":
+        # concatenate bound prompt bodies weight-desc (the batch analogue
+        # of the reference's effective-prompt assembly)
+        from cortex_spark.prompt_graph import resolve_prompt
 
-    parts = []
-    for r in bound:
-        resolved = (
-            resolve_prompt(nodes, edges, r["slug"], branch=r["branch"]) if r["slug"] else None
+        parts = []
+        for r in bound:
+            resolved = (
+                resolve_prompt(nodes, edges, r["slug"], branch=r["branch"]) if r["slug"] else None
+            )
+            parts.append({"prompt": r["prompt_title"], "weight": round(float(r["weight"]), 6),
+                          "resolved": resolved})
+        print(json.dumps({"agent": args.name, "effective": parts}, default=str))
+        return 0
+
+    if args.agent_cmd == "select":
+        # epsilon-greedy variant selection through the REAL scoring columns
+        # (selection.rs:125-194 via cortex_spark.prompt.select_variant)
+        from cortex_spark.prompt import select_variant
+
+        if not bound:
+            return _die(f"{args.name!r} has no bound prompts")
+        variants = (
+            edges.filter((F.col("src") == a["node_id"]) & (F.col("relation") == "uses"))
+            .join(nodes.select(F.col("node_id").alias("dst"),
+                               F.get_json_object("body", "$.slug").alias("slug")), "dst")
+            .select(
+                F.lit(args.name).alias("prompt_id"),
+                F.col("dst").alias("variant_id"),
+                F.col("weight").cast("double").alias("edge_weight"),
+                F.lit(None).cast("map<string,double>").alias("context_weights"),
+            )
         )
-        parts.append({"prompt": r["prompt_title"], "weight": round(float(r["weight"]), 6),
-                      "resolved": resolved})
-    print(json.dumps({"agent": args.name, "effective": parts}, default=str))
+        signals = {
+            "sentiment": args.sentiment, "correction_rate": args.correction_rate,
+            "topic_shift": args.topic_shift, "energy": args.energy,
+            "task_" + args.task_type: 1.0,
+        }
+        picked = select_variant(variants, signals, epsilon=args.epsilon).first()
+        print(json.dumps({
+            "agent": args.name, "variant_id": picked["variant_id"],
+            "score": round(float(picked["score"]), 6), "explored": bool(picked["explore"]),
+        }))
+        return 0
+
+    if args.agent_cmd == "observe":
+        # record the observation + EMA-update the uses edge weight through
+        # the REAL column functions (selection.rs observation score, α=0.1)
+        from datetime import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        from cortex_spark.prompt import observation_score_col, update_edge_weight_col
+
+        target = edges.filter(
+            (F.col("src") == a["node_id"]) & (F.col("dst") == args.variant_id)
+            & (F.col("relation") == "uses")
+        ).first()
+        if target is None:
+            return _die(f"{args.name!r} has no uses edge to variant {args.variant_id!r}")
+        slug_row = nodes.filter(F.col("node_id") == args.variant_id).select(
+            F.get_json_object("body", "$.slug").alias("slug")).first()
+        now = _dt.utcnow().replace(microsecond=0)
+        prev_seq = (
+            _read_obs(spark, args.store).agg(F.max("seq").alias("m")).first()["m"] or 0
+        )
+        obs_row = spark.createDataFrame(
+            [(args.name, (slug_row["slug"] if slug_row else None) or args.variant_slug,
+              args.variant_id, int(prev_seq) + 1, float(args.sentiment_score),
+              int(args.correction_count), args.task_outcome, None, now)],
+            "agent string, slug string, variant_id string, seq bigint, "
+            "sentiment double, correction_count bigint, task_outcome string, "
+            "obs_score double, ts timestamp",
+        ).withColumn(
+            "obs_score",
+            observation_score_col(F.col("sentiment"), F.col("correction_count"),
+                                  F.col("task_outcome")).cast(T.DoubleType()),
+        )
+        obs = obs_row.first()
+        obs_row.write.mode("append").parquet(_obs_path(args.store))
+        updated = edges.withColumn(
+            "weight",
+            F.when(
+                F.col("edge_id") == target["edge_id"],
+                update_edge_weight_col(F.col("weight").cast("double"),
+                                       F.lit(obs["obs_score"])).cast("float"),
+            ).otherwise(F.col("weight")),
+        )
+        _overwrite_edges(spark, args.store, updated)
+        _refresh(spark, args.store, "canonical_edges")
+        _audit_append(spark, args.store, "node.updated", args.variant_id, actor="agent-observe",
+                      details=f"obs_score={obs['obs_score']:.4f}")
+        new_w = (
+            spark.read.parquet(f"{args.store}/canonical_edges/data")
+            .filter(F.col("edge_id") == target["edge_id"]).first()["weight"]
+        )
+        print(json.dumps({
+            "agent": args.name, "variant_id": args.variant_id, "seq": obs["seq"],
+            "obs_score": round(float(obs["obs_score"]), 6),
+            "old_weight": round(float(target["weight"]), 6),
+            "new_weight": round(float(new_w), 6),
+        }))
+        return 0
+
+    # history: observation log for the agent, newest first
+    rows = (
+        _read_obs(spark, args.store).filter(F.col("agent") == args.name)
+        .orderBy(F.desc("seq")).limit(args.limit).collect()
+    )
+    print(json.dumps([
+        {"seq": r["seq"], "variant_id": r["variant_id"], "slug": r["slug"],
+         "sentiment": r["sentiment"], "corrections": r["correction_count"],
+         "outcome": r["task_outcome"], "obs_score": round(float(r["obs_score"]), 6),
+         "ts": str(r["ts"])}
+        for r in rows
+    ]))
     return 0
 
 

@@ -33,6 +33,8 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = synth_pages(spark, {n_pages}, seed=42)
 nodes = pages_to_nodes_fused(pages, embed_dim=64)
 nodes.write.mode("overwrite").parquet({nodes_path!r})
+import json
+print(json.dumps({{"nodes": spark.read.parquet({nodes_path!r}).count()}}))
 """
 
 _LINK_SNIPPET = """

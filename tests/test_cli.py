@@ -226,3 +226,63 @@ def test_cli_backup_restore(spark, cli_store, capsys, tmp_path):
     results = json.loads(_run(capsys, "--store", restored, "doctor"))
     # CLI-created nodes have no embeddings yet -> coverage warning is expected
     assert all(r["status"] != "error" for r in results)
+
+
+def test_cli_agent_bind_select_observe_history(spark, cli_store, capsys, tmp_path):
+    """The agent↔prompt binding lifecycle (cli/agent.rs AgentCommands):
+    bind → select → observe (EMA weight update) → history → unbind."""
+    # a second prompt to bind (the module fixture seeded 'helper' + agent kai)
+    mig = tmp_path / "prompts.json"
+    mig.write_text(json.dumps([
+        {"slug": "reviewer", "sections": {"role": "reviewer"}},
+        {"slug": "helper", "sections": {"role": "assistant v2"}},  # new version
+    ]))
+    dry = json.loads(_run(capsys, "--store", cli_store, "prompt", "migrate", str(mig),
+                          "--dry-run"))
+    assert dry["would_import"] == 2
+    out = json.loads(_run(capsys, "--store", cli_store, "prompt", "migrate", str(mig)))
+    assert {i["slug"] for i in out["imported"]} == {"reviewer", "helper"}
+    # helper's HEAD advanced to v2 via a supersedes edge
+    pg = json.loads(_run(capsys, "--store", cli_store, "prompt", "get", "helper"))
+    assert pg["version"] == 2 and pg["content"]["role"] == "assistant v2"
+
+    b = json.loads(_run(capsys, "--store", cli_store, "agent", "bind", "kai", "reviewer",
+                        "--weight", "0.8"))
+    assert b["weight"] == 0.8
+    show = json.loads(_run(capsys, "--store", cli_store, "agent", "show", "kai"))
+    assert len(show["prompts"]) == 2
+
+    sel = json.loads(_run(capsys, "--store", cli_store, "agent", "select", "kai",
+                          "--sentiment", "0.9", "--epsilon", "0.0"))
+    # epsilon 0 -> greedy: the highest-weight binding wins (helper @ 1.0)
+    assert sel["explored"] is False and sel["score"] > 0
+
+    pl = json.loads(_run(capsys, "--store", cli_store, "prompt", "list"))
+    reviewer_id = next(p["node_id"] for p in pl if p["slug"] == "reviewer")
+    ob = json.loads(_run(capsys, "--store", cli_store, "agent", "observe", "kai",
+                         "--variant-id", reviewer_id,
+                         "--sentiment-score", "1.0", "--task-outcome", "success"))
+    # perfect observation pulls the weight UP via EMA (alpha=0.1)
+    assert ob["new_weight"] > ob["old_weight"]
+    assert abs(ob["obs_score"] - 1.0) < 1e-6  # 0.5*1 + 0.3*1 + 0.2*1
+
+    hist = json.loads(_run(capsys, "--store", cli_store, "agent", "history", "kai"))
+    assert len(hist) == 1 and hist[0]["outcome"] == "success"
+
+    perf = json.loads(_run(capsys, "--store", cli_store, "prompt", "performance", "reviewer"))
+    assert perf and perf[0]["n"] == 1
+
+    un = json.loads(_run(capsys, "--store", cli_store, "agent", "unbind", "kai", "reviewer"))
+    assert un["unbound"] == "reviewer"
+    show2 = json.loads(_run(capsys, "--store", cli_store, "agent", "show", "kai"))
+    assert len(show2["prompts"]) == 1
+
+
+def test_cli_prompt_deploy_rollback_status(spark, cli_store, capsys):
+    dep = json.loads(_run(capsys, "--store", cli_store, "prompt", "deploy", "helper",
+                          "--agent-name", "kai"))
+    assert dep["quarantined"] is False and "baseline" in dep
+    st = json.loads(_run(capsys, "--store", cli_store, "prompt", "rollback-status", "helper"))
+    assert st["quarantined"] is False and st["trigger"] is None
+    unq = json.loads(_run(capsys, "--store", cli_store, "prompt", "unquarantine", "helper"))
+    assert unq["quarantined"] is False
