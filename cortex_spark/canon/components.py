@@ -31,24 +31,31 @@ def _neighborhoods(edges: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """Kiveris large-star: neighborhoods over BOTH directions; connect every
-    strictly-larger neighbor v of u to m = min(N(u) ∪ {u})."""
-    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    strictly-larger neighbor v of u to m = min(N(u) ∪ {u}).
+
+    No intermediate distinct(): dedup is implicit in the groupBy-min, and
+    duplicate (v, m) pairs in the output are semantically harmless — the
+    round's single dedup happens once at the end of _small_star. Each
+    eliminated distinct() is a whole shuffle stage, and round latency (not
+    data volume) dominates this iterative kernel at every scale: the data
+    strictly shrinks per round while stage count stays fixed."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select("u", F.least("mv", "u").alias("m"))
     return (
         nbrs.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Kiveris small-star: orient each edge high→low, connect all of u's
-    ≤-neighbors (and u) to m = min of that set."""
+    ≤-neighbors (and u) to m = min of that set. Carries the round's ONE
+    dedup (the final distinct) — see _large_star on why."""
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct()
+    ).filter(F.col("u") != F.col("v"))
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))  # m <= all v <= u
     out = (
         oriented.join(mins, "u")
