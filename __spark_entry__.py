@@ -733,7 +733,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (vec_id-seeded payload) → mapInPandas decode → per-channel
     features. Even ids are REAL P6 netpbm images (genuine codec parse,
     dataops/multimodal.py:_parse_pnm); odd ids use the fake test format.
-    Rows-only check (binary fixtures aren't SQL-expressible)."""
+    Hash-checked against a golden from an INDEPENDENT minimal
+    netpbm/FAKEIMG reader (scripts/make_multimodal_golden.py)."""
     import pandas as pd
 
     from cortex_spark.dataops.multimodal import (
@@ -1043,23 +1044,40 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_briefing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.4 briefing report over the KG built from documents (rows-only)."""
+    """§3.4 briefing report through the REAL generate_briefing (sectioned
+    ranking, 2-hop pattern BFS, contradiction endpoints, ordered seen-set
+    exclusion, global cap) over the same frozen doc_id<500 exact-path KG as
+    kg_triples. Hash-checked against a golden materialized by the
+    independent pure-Python transliteration in scripts/make_kg_golden.py
+    (briefing_oracle — no Spark). Golden pinned to sf0.01."""
     from cortex_spark.briefing import generate_briefing
     from cortex_spark.corpus import pages_from_documents
     from cortex_spark.extract.fused import pages_to_nodes_fused
     from cortex_spark.linker.pipeline import link_nodes
+    from cortex_spark.linker.rules import LinkerConfig
 
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir).filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("int") < 500
+    )
     nodes = pages_to_nodes_fused(pages, embed_dim=64).cache()
-    edges = link_nodes(nodes, run_ts=RUN_TS, use_lsh=True)
-    agent = nodes.select("source_agent").orderBy("source_agent").first()["source_agent"]
-    return generate_briefing(nodes, edges, agent, now=RUN_TS.replace(tzinfo=None))
+    edges = link_nodes(
+        nodes, config=LinkerConfig(max_edges_per_node=8), run_ts=RUN_TS, use_lsh=False
+    )
+    agent = (
+        nodes.groupBy("source_agent").count()
+        .orderBy(F.desc("count"), F.asc("source_agent")).first()["source_agent"]
+    )
+    rep = generate_briefing(nodes, edges, agent, now=RUN_TS.replace(tzinfo=None))
+    return rep.select(
+        "section", "section_idx", "section_rank", "node_id", "kind", "title",
+        F.round(F.col("importance"), 6).alias("importance"),
+    )
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end KG triple emission (extract → classify/title/tags →
     embed → candidate scan → rule cascade → first-rule-wins → per-node cap)
-    over the frozen doc_id<120 corpus, emitting the full (subj, pred, obj,
+    over the frozen doc_id<500 corpus, emitting the full (subj, pred, obj,
     weight) list. Hash-checked against a GOLDEN materialized by the pure-
     Python oracle (scripts/make_kg_golden.py — composition of the python
     reference kernels + the tests' rule-cascade transliteration, no Spark),
@@ -1073,7 +1091,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cortex_spark.linker.rules import LinkerConfig
 
     pages = pages_from_documents(spark, sf_dir).filter(
-        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("int") < 120
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("int") < 500
     )
     nodes = pages_to_nodes_fused(pages, embed_dim=64).cache()
     edges = link_nodes(
@@ -2236,6 +2254,46 @@ def _kg_triples_sql() -> str:
     )
 
 
+def _multimodal_sql() -> str:
+    """Golden VALUES oracle for the multimodal decode plumbing: fixture
+    bytes re-parsed by an INDEPENDENT minimal netpbm/FAKEIMG reader
+    (scripts/make_multimodal_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "multimodal_decode.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, {}, {})".format(m, w, h, c, f0)
+        for m, w, h, c, f0 in golden["rows"]
+    )
+    return ("SELECT * FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, width, height, channels, f0)")
+
+
+def _briefing_sql() -> str:
+    """Golden VALUES oracle for the briefing report over the frozen
+    subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "briefing_sf0_01.json")
+    golden = json.load(open(path))
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n".join(
+        "('{}', {}, {}, '{}', '{}', '{}', {})".format(
+            sec, idx, rank, nid, kind, esc(title), imp)
+        for sec, idx, rank, nid, kind, title, imp in golden["rows"]
+    )
+    return ("SELECT * FROM (VALUES\n" + vals +
+            "\n) AS t(section, section_idx, section_rank, node_id, kind, title, importance)")
+
+
 def oracle_sql() -> dict[str, str]:
     toks_cte = (
         "WITH t AS (SELECT doc_id, source, "
@@ -2285,6 +2343,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": _ann_lsh_sql(),
         "kg_triples": _kg_triples_sql(),
+        "briefing": _briefing_sql(),
+        "multimodal_decode": _multimodal_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

@@ -31,7 +31,7 @@ from cortex_spark.embed import encode_py  # noqa: E402
 from cortex_spark.extract.chunk import chunk_text  # noqa: E402
 from cortex_spark.extract.classify import classify_py, title_py  # noqa: E402
 
-KG_DOCS = 120  # frozen fixture: doc_id < 120
+KG_DOCS = 500  # frozen fixture: every sf0.01 doc (en-filtered)
 KG_CAP = 8  # max_edges_per_node for the driver query (exercises W7 too)
 ANN_K = 100
 EMBED_DIM = 64
@@ -138,13 +138,113 @@ def main(sf_dir: str) -> None:
     triples.sort()
     print(f"{len(triples)} triples")
 
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "goldens", "kg_triples_sf0_01.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "goldens")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "kg_triples_sf0_01.json")
     with open(out, "w") as fh:
         json.dump({"sf_dir": sf_dir, "kg_docs": KG_DOCS, "cap": KG_CAP,
                    "triples": triples}, fh, indent=0)
     print(f"wrote {out}")
+
+    brf = briefing_oracle(nodes, triples)
+    out_b = os.path.join(out_dir, "briefing_sf0_01.json")
+    with open(out_b, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "kg_docs": KG_DOCS, "rows": brf}, fh, indent=0)
+    print(f"wrote {out_b} ({len(brf)} rows)")
+
+
+def briefing_oracle(nodes: list[dict], triples: list[list]) -> list[list]:
+    """Pure-Python transliteration of generate_briefing (briefing.py /
+    reference briefing/engine.rs:139-289) over the frozen subgraph:
+    ranked sections, 2-hop pattern neighborhood, contradiction endpoints,
+    ordered seen-set exclusion, global cap, per-section rank window.
+    Returns [section, section_idx, section_rank, node_id, kind, title,
+    importance] rows."""
+    MIN_IMPORTANCE, PER_SECTION, GLOBAL_CAP = 0.3, 10, 50
+    DEFAULT_KINDS = {"agent", "decision", "fact", "event", "goal",
+                     "preference", "pattern", "observation", "prompt"}
+    by_id = {n["node_id"]: n for n in nodes}
+    counts: dict[str, int] = {}
+    for n in nodes:
+        counts[n["agent"]] = counts.get(n["agent"], 0) + 1
+    agent = min(counts, key=lambda a: (-counts[a], a))  # busiest, name tie-break
+    importance = 0.5  # every extracted node (ingest.rs:119 default)
+    a_nodes = [n for n in nodes if n["agent"] == agent]
+
+    def rank(ns, limit=PER_SECTION):
+        ns = [n for n in ns if importance >= MIN_IMPORTANCE]
+        # (importance desc, access desc, node_id asc) — imp/access constant
+        return sorted(ns, key=lambda n: n["node_id"])[:limit]
+
+    sections = []
+    sections.append(("identity", rank([n for n in a_nodes if n["kind"] in ("agent", "preference")])))
+    sections.append(("goals", rank([n for n in a_nodes if n["kind"] == "goal"])))
+
+    pattern_ids = {n["node_id"] for n in a_nodes if n["kind"] == "pattern"}
+    if pattern_ids:
+        adj: dict[str, set] = {}
+        for s, d, rel, _ in triples:
+            if rel in ("applies_to", "instance_of"):
+                adj.setdefault(s, set()).add(d)
+                adj.setdefault(d, set()).add(s)
+        hood = set(pattern_ids)
+        frontier = set(pattern_ids)
+        for _ in range(2):
+            frontier = {v for u in frontier for v in adj.get(u, ()) if v not in hood}
+            hood |= frontier
+        patt = [by_id[i] for i in hood if i in by_id]
+    else:
+        patt = []
+    sections.append(("patterns", rank(patt)))
+
+    contra = {x for s, d, rel, _ in triples if rel == "contradicts" for x in (s, d)}
+    sections.append(("contradictions", rank([by_id[i] for i in contra if i in by_id])))
+
+    # recent events: all frozen-corpus timestamps sit inside the 48 h window
+    sections.append(("recent_events", rank([n for n in a_nodes if n["kind"] == "event"])))
+
+    active = sorted(
+        (n for n in a_nodes if importance >= MIN_IMPORTANCE),
+        key=lambda n: (-n["created"].timestamp(), n["node_id"]),
+    )[:PER_SECTION]
+    sections.append(("active_context", active))
+
+    novel: dict[str, float] = {}
+    for n in nodes:
+        if n["kind"] not in DEFAULT_KINDS:
+            novel[n["kind"]] = novel.get(n["kind"], 0.0) + importance
+    for kind in sorted(novel, key=lambda k: (-novel[k], k)):
+        sections.append((f"more_{kind}", rank([n for n in nodes if n["kind"] == kind])))
+
+    seen: set[str] = set()
+    out = []
+    remaining = GLOBAL_CAP
+    for idx, (name, sec) in enumerate(sections):
+        if remaining <= 0:
+            break
+        fresh = [n for n in sec if n["node_id"] not in seen]
+        if name == "active_context":
+            fresh.sort(key=lambda n: (-n["created"].timestamp(), n["node_id"]))
+        else:
+            fresh.sort(key=lambda n: n["node_id"])
+        picked = fresh[:remaining]
+        if not picked:
+            continue
+        remaining -= len(picked)
+        seen |= {n["node_id"] for n in picked}
+        for n in picked:
+            out.append((name, idx, n))
+    # per-section rank window: (imp desc, access desc, node_id asc)
+    rows = []
+    by_sec: dict[str, list] = {}
+    for name, idx, n in out:
+        by_sec.setdefault(name, []).append((idx, n))
+    for name, entries in by_sec.items():
+        entries.sort(key=lambda t: t[1]["node_id"])
+        for r, (idx, n) in enumerate(entries, start=1):
+            rows.append([name, idx, r, n["node_id"], n["kind"], n["title"], importance])
+    rows.sort()
+    return rows
 
 
 if __name__ == "__main__":
