@@ -89,43 +89,56 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
         qs[name](spark, sf_dir).count()
         results[name] = round(time.time() - t0, 3)
 
-    # 2. KG pipeline on a synthetic corpus scaled off the sf dir
+    # 2. KG pipeline on a synthetic corpus scaled off the sf dir.
+    # Sampled TWICE, min per run reported: this VM's run-to-run host swing
+    # is 1.5-2x at identical code (BASELINE.md methodology) — a single
+    # sample measures the host slot, not the engine. Both samples recorded.
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_pages = pages_n or int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", 2 * n_docs))
     from cortex_spark.linker.pipeline import ann_candidates
 
-    t0 = time.time()
-    pages = synth_pages(spark, n_pages, seed=42)
-    nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
-    n_nodes = nodes.count()
-    t_extract = time.time() - t0
+    def run_kg() -> dict:
+        t0 = time.time()
+        pages = synth_pages(spark, n_pages, seed=42)
+        nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
+        n_nodes = nodes.count()
+        t_extract = time.time() - t0
 
-    t1 = time.time()
-    cands = ann_candidates(nodes, lsh_kwargs={"dim": 64, "n_rows": n_nodes}).localCheckpoint()
-    edges = link_nodes(nodes, candidates=cands).localCheckpoint()
-    n_edges = edges.count()
-    t_link = time.time() - t1
+        t1 = time.time()
+        cands = ann_candidates(nodes, lsh_kwargs={"dim": 64, "n_rows": n_nodes}).localCheckpoint()
+        edges = link_nodes(nodes, candidates=cands).localCheckpoint()
+        n_edges = edges.count()
+        t_link = time.time() - t1
 
-    t2 = time.time()
-    pairs = dedup_pairs(nodes, candidates=cands)
-    actions = dedup_actions(pairs, nodes, edges)
-    cnodes, cedges = canonicalize(nodes, edges, actions)
-    n_cedges = cedges.count()
-    t_canon = time.time() - t2
+        t2 = time.time()
+        pairs = dedup_pairs(nodes, candidates=cands)
+        actions = dedup_actions(pairs, nodes, edges)
+        cnodes, cedges = canonicalize(nodes, edges, actions)
+        n_cedges = cedges.count()
+        t_canon = time.time() - t2
 
-    kg_secs = time.time() - t0
-    results["kg_pipeline"] = round(kg_secs, 3)
-    kg = {
-        "pages": n_pages,
-        "nodes": n_nodes,
-        "edges": n_edges,
-        "canonical_edges": n_cedges,
-        "extract_sec": round(t_extract, 2),
-        "link_sec": round(t_link, 2),
-        "canon_sec": round(t_canon, 2),
-        "nodes_per_sec": round(n_nodes / kg_secs, 1),
-        "triples_per_sec": round(n_edges / kg_secs, 1),
-    }
+        kg_secs = time.time() - t0
+        for df in (nodes, cands, edges):
+            df.unpersist()
+        return {
+            "pages": n_pages,
+            "nodes": n_nodes,
+            "edges": n_edges,
+            "canonical_edges": n_cedges,
+            "extract_sec": round(t_extract, 2),
+            "link_sec": round(t_link, 2),
+            "canon_sec": round(t_canon, 2),
+            "nodes_per_sec": round(n_nodes / kg_secs, 1),
+            "triples_per_sec": round(n_edges / kg_secs, 1),
+            "kg_secs": round(kg_secs, 3),
+        }
+
+    samples = [run_kg(), run_kg()]
+    kg = min(samples, key=lambda s: s["kg_secs"])
+    kg = dict(kg)
+    kg["samples_kg_secs"] = [s["kg_secs"] for s in samples]
+    kg["samples_link_sec"] = [s["link_sec"] for s in samples]
+    results["kg_pipeline"] = kg.pop("kg_secs")
 
     total = time.time() - t_total
     return {
