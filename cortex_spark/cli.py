@@ -55,13 +55,14 @@ def _die(msg: str) -> "int":
 
 
 def parse_duration(s: str) -> timedelta:
-    """'24h', '7d', '1h30m' → timedelta (cli/audit.rs:71 parse_duration)."""
+    """'24h', '7d', '1h30m' → timedelta (cli/audit.rs:71 parse_duration).
+    Strict: any unparseable residue rejects the whole string, matching the
+    reference's parser."""
     units = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
-    total = 0
-    for num, unit in re.findall(r"(\d+)([smhdw])", s.strip()):
-        total += int(num) * units[unit]
-    if total == 0:
+    s = s.strip()
+    if not re.fullmatch(r"(\d+[smhdw])+", s):
         raise ValueError(f"cannot parse duration {s!r}: expected e.g. '24h', '7d', '1h30m'")
+    total = sum(int(num) * units[unit] for num, unit in re.findall(r"(\d+)([smhdw])", s))
     return timedelta(seconds=total)
 
 
@@ -91,10 +92,13 @@ def _audit_append(spark, store: str, action: str, target_id: str, actor: str = "
 
 def _overwrite_nodes(spark, store: str, nodes_df) -> None:
     """Safe in-place rewrite of the node table (tmp write + republish)."""
+    import shutil
+
     path = f"{store}/canonical_nodes/data"
     tmp = path + "_tmp"
     nodes_df.write.mode("overwrite").partitionBy("kind").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").partitionBy("kind").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)  # don't leave a stale table copy in the store
 
 
 def _refresh(spark, store: str, stage: str) -> None:
@@ -338,7 +342,10 @@ def main(argv: list[str] | None = None) -> int:
         from cortex_spark.audit import AuditLog
 
         log = AuditLog(f"{args.store}/audit", spark)
-        since = (datetime.utcnow() - parse_duration(args.since)) if args.since else None
+        try:
+            since = (datetime.utcnow() - parse_duration(args.since)) if args.since else None
+        except ValueError as e:
+            return _die(str(e))
         df = log.query(actor=args.actor, since=since)
         if args.node:
             df = df.filter(df["target_id"] == args.node)
@@ -604,6 +611,8 @@ def _cmd_node(spark, args, nodes) -> int:
         import hashlib
 
         nid = hashlib.sha256(f"{args.title}\x00{body}\x00cli".encode()).hexdigest()[:32]
+        if not nodes.filter(F.col("node_id") == nid).isEmpty():
+            return _die(f"node with identical title/body already exists: {nid}")
         row = spark.createDataFrame(
             [(nid, args.kind, args.title, body, {}, tags, None, "cli", None, "cli",
               float(args.importance), 0, now, now, now, False)], NODES)
@@ -696,13 +705,27 @@ def _cmd_import(spark, args) -> int:
         if fmt is None:
             return _die(f"cannot auto-detect format of {args.file}; pass --format")
     if fmt in ("json", "jsonl"):
-        out = import_nodes_json(spark, args.file, source=args.source)
+        # 'json' = whole-file (possibly pretty-printed) array → multiLine;
+        # 'jsonl' = one object per line. Both raise on unparseable files
+        # instead of importing default-valued garbage rows.
+        try:
+            out = import_nodes_json(spark, args.file, source=args.source,
+                                    multiline=(fmt == "json"))
+        except ValueError as e:
+            return _die(str(e))
     elif fmt == "csv":
+        import shutil
+        import tempfile
+
         raw = spark.read.option("header", True).csv(args.file)
-        tmp = os.path.join(os.path.dirname(os.path.abspath(args.file)) or ".",
-                           "._import_csv_as_jsonl")
-        raw.write.mode("overwrite").json(tmp)
-        out = import_nodes_json(spark, tmp, source=args.source)
+        # convert via a throwaway temp dir, never next to the user's input
+        tmp = tempfile.mkdtemp(prefix="cortex_import_csv_")
+        try:
+            raw.write.mode("overwrite").json(tmp)
+            out = import_nodes_json(spark, tmp, source=args.source)
+            out = out.localCheckpoint(eager=True)  # materialize before cleanup
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     else:  # markdown: one node; first heading is the title
         text = open(args.file, encoding="utf-8").read()
         m = re.search(r"^#+\s*(.+)$", text, re.M)
@@ -739,10 +762,13 @@ def _cmd_export(args, nodes, edges) -> int:
     live_nodes = nodes.filter(~F.col("deleted"))
     if args.kind:
         live_nodes = live_nodes.filter(F.col("kind") == args.kind)
-        edges = (
-            edges.join(live_nodes.select(F.col("node_id").alias("src")), "src", "left_semi")
-            .join(live_nodes.select(F.col("node_id").alias("dst")), "dst", "left_semi")
-        )
+    # ALWAYS restrict edges to live exported endpoints — an edge referencing
+    # a tombstoned/absent node makes the GraphML/DOT invalid (consumers
+    # reject edges to undeclared nodes)
+    edges = (
+        edges.join(live_nodes.select(F.col("node_id").alias("src")), "src", "left_semi")
+        .join(live_nodes.select(F.col("node_id").alias("dst")), "dst", "left_semi")
+    )
     if args.format in ("json", "jsonl"):
         from cortex_spark.io import export_graph
 
@@ -795,10 +821,13 @@ def _cmd_export(args, nodes, edges) -> int:
 
 
 def _overwrite_edges(spark, store: str, edges_df) -> None:
+    import shutil
+
     path = f"{store}/canonical_edges/data"
     tmp = path + "_tmp"
     edges_df.write.mode("overwrite").partitionBy("relation").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").partitionBy("relation").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)  # don't leave a stale table copy in the store
 
 
 def _cmd_agent(spark, args, nodes, edges) -> int:
@@ -860,6 +889,30 @@ def _cmd_agent(spark, args, nodes, edges) -> int:
         print(json.dumps({"bound": args.slug, "agent": args.name,
                           "weight": float(args.weight), "edge_id": eid}))
         return 0
+
+    if args.agent_cmd in ("show", "resolve", "select"):
+        return _cmd_agent_prompts(spark, args, nodes, edges, a)
+
+    if args.agent_cmd == "observe":
+        return _cmd_agent_observe(spark, args, nodes, edges, a)
+
+    # history: observation log for the agent, newest first
+    rows = (
+        _read_obs(spark, args.store).filter(F.col("agent") == args.name)
+        .orderBy(F.desc("seq")).limit(args.limit).collect()
+    )
+    print(json.dumps([
+        {"seq": r["seq"], "variant_id": r["variant_id"], "slug": r["slug"],
+         "sentiment": r["sentiment"], "corrections": r["correction_count"],
+         "outcome": r["task_outcome"], "obs_score": round(float(r["obs_score"]), 6),
+         "ts": str(r["ts"])}
+        for r in rows
+    ]))
+    return 0
+
+
+def _cmd_agent_prompts(spark, args, nodes, edges, a) -> int:
+    from pyspark.sql import functions as F
 
     # prompts bound to the agent: `uses` edges agent → prompt
     # (prompt/rollback.rs:695-768 — the binding relation is rels::uses())
@@ -927,77 +980,68 @@ def _cmd_agent(spark, args, nodes, edges) -> int:
         }))
         return 0
 
-    if args.agent_cmd == "observe":
-        # record the observation + EMA-update the uses edge weight through
-        # the REAL column functions (selection.rs observation score, α=0.1)
-        from datetime import datetime as _dt
+    return 0
 
-        from pyspark.sql import types as T
 
-        from cortex_spark.prompt import observation_score_col, update_edge_weight_col
+def _cmd_agent_observe(spark, args, nodes, edges, a) -> int:
+    from pyspark.sql import functions as F
 
-        target = edges.filter(
-            (F.col("src") == a["node_id"]) & (F.col("dst") == args.variant_id)
-            & (F.col("relation") == "uses")
-        ).first()
-        if target is None:
-            return _die(f"{args.name!r} has no uses edge to variant {args.variant_id!r}")
-        slug_row = nodes.filter(F.col("node_id") == args.variant_id).select(
-            F.get_json_object("body", "$.slug").alias("slug")).first()
-        now = _dt.utcnow().replace(microsecond=0)
-        prev_seq = (
-            _read_obs(spark, args.store).agg(F.max("seq").alias("m")).first()["m"] or 0
-        )
-        obs_row = spark.createDataFrame(
-            [(args.name, (slug_row["slug"] if slug_row else None) or args.variant_slug,
-              args.variant_id, int(prev_seq) + 1, float(args.sentiment_score),
-              int(args.correction_count), args.task_outcome, None, now)],
-            "agent string, slug string, variant_id string, seq bigint, "
-            "sentiment double, correction_count bigint, task_outcome string, "
-            "obs_score double, ts timestamp",
-        ).withColumn(
-            "obs_score",
-            observation_score_col(F.col("sentiment"), F.col("correction_count"),
-                                  F.col("task_outcome")).cast(T.DoubleType()),
-        )
-        obs = obs_row.first()
-        obs_row.write.mode("append").parquet(_obs_path(args.store))
-        updated = edges.withColumn(
-            "weight",
-            F.when(
-                F.col("edge_id") == target["edge_id"],
-                update_edge_weight_col(F.col("weight").cast("double"),
-                                       F.lit(obs["obs_score"])).cast("float"),
-            ).otherwise(F.col("weight")),
-        )
-        _overwrite_edges(spark, args.store, updated)
-        _refresh(spark, args.store, "canonical_edges")
-        _audit_append(spark, args.store, "node.updated", args.variant_id, actor="agent-observe",
-                      details=f"obs_score={obs['obs_score']:.4f}")
-        new_w = (
-            spark.read.parquet(f"{args.store}/canonical_edges/data")
-            .filter(F.col("edge_id") == target["edge_id"]).first()["weight"]
-        )
-        print(json.dumps({
-            "agent": args.name, "variant_id": args.variant_id, "seq": obs["seq"],
-            "obs_score": round(float(obs["obs_score"]), 6),
-            "old_weight": round(float(target["weight"]), 6),
-            "new_weight": round(float(new_w), 6),
-        }))
-        return 0
+    # record the observation + EMA-update the uses edge weight through
+    # the REAL column functions (selection.rs observation score, α=0.1)
+    from datetime import datetime as _dt
 
-    # history: observation log for the agent, newest first
-    rows = (
-        _read_obs(spark, args.store).filter(F.col("agent") == args.name)
-        .orderBy(F.desc("seq")).limit(args.limit).collect()
+    from pyspark.sql import types as T
+
+    from cortex_spark.prompt import observation_score_col, update_edge_weight_col
+
+    target = edges.filter(
+        (F.col("src") == a["node_id"]) & (F.col("dst") == args.variant_id)
+        & (F.col("relation") == "uses")
+    ).first()
+    if target is None:
+        return _die(f"{args.name!r} has no uses edge to variant {args.variant_id!r}")
+    slug_row = nodes.filter(F.col("node_id") == args.variant_id).select(
+        F.get_json_object("body", "$.slug").alias("slug")).first()
+    now = _dt.utcnow().replace(microsecond=0)
+    prev_seq = (
+        _read_obs(spark, args.store).agg(F.max("seq").alias("m")).first()["m"] or 0
     )
-    print(json.dumps([
-        {"seq": r["seq"], "variant_id": r["variant_id"], "slug": r["slug"],
-         "sentiment": r["sentiment"], "corrections": r["correction_count"],
-         "outcome": r["task_outcome"], "obs_score": round(float(r["obs_score"]), 6),
-         "ts": str(r["ts"])}
-        for r in rows
-    ]))
+    obs_row = spark.createDataFrame(
+        [(args.name, (slug_row["slug"] if slug_row else None) or args.variant_slug,
+          args.variant_id, int(prev_seq) + 1, float(args.sentiment_score),
+          int(args.correction_count), args.task_outcome, None, now)],
+        "agent string, slug string, variant_id string, seq bigint, "
+        "sentiment double, correction_count bigint, task_outcome string, "
+        "obs_score double, ts timestamp",
+    ).withColumn(
+        "obs_score",
+        observation_score_col(F.col("sentiment"), F.col("correction_count"),
+                              F.col("task_outcome")).cast(T.DoubleType()),
+    )
+    obs = obs_row.first()
+    obs_row.write.mode("append").parquet(_obs_path(args.store))
+    updated = edges.withColumn(
+        "weight",
+        F.when(
+            F.col("edge_id") == target["edge_id"],
+            update_edge_weight_col(F.col("weight").cast("double"),
+                                   F.lit(obs["obs_score"])).cast("float"),
+        ).otherwise(F.col("weight")),
+    )
+    _overwrite_edges(spark, args.store, updated)
+    _refresh(spark, args.store, "canonical_edges")
+    _audit_append(spark, args.store, "node.updated", args.variant_id, actor="agent-observe",
+                  details=f"obs_score={obs['obs_score']:.4f}")
+    new_w = (
+        spark.read.parquet(f"{args.store}/canonical_edges/data")
+        .filter(F.col("edge_id") == target["edge_id"]).first()["weight"]
+    )
+    print(json.dumps({
+        "agent": args.name, "variant_id": args.variant_id, "seq": obs["seq"],
+        "obs_score": round(float(obs["obs_score"]), 6),
+        "old_weight": round(float(target["weight"]), 6),
+        "new_weight": round(float(new_w), 6),
+    }))
     return 0
 
 

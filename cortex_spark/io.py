@@ -13,11 +13,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def import_nodes_json(spark: SparkSession, path: str, source: str = "import") -> DataFrame:
-    """Read a JSON export (one object per line or array) into the nodes
-    schema; missing fields defaulted, ids content-hashed for idempotence."""
-    raw = spark.read.json(path)  # JSON-lines; pass whole-file arrays through multiLine upstream
+def import_nodes_json(
+    spark: SparkSession, path: str, source: str = "import", multiline: bool = False
+) -> DataFrame:
+    """Read a JSON export (one object per line, or a whole-file array with
+    multiline=True) into the nodes schema; missing fields defaulted, ids
+    content-hashed for idempotence. Raises on files Spark cannot parse at
+    all (schema collapses to _corrupt_record) instead of importing
+    default-valued garbage rows."""
+    raw = spark.read.option("multiLine", multiline).json(path)
     cols = {f.name for f in raw.schema.fields}
+    bad_hint = (
+        f"{path} is not fully parseable as {'a JSON array' if multiline else 'JSON lines'}; "
+        "for pretty-printed array files use format 'json' (multiLine), "
+        "for one-object-per-line files use 'jsonl'"
+    )
+    if cols <= {"_corrupt_record"}:
+        raise ValueError(bad_hint)
+    if "_corrupt_record" in cols:
+        # partial parse (e.g. an array file read line-wise where one line
+        # happens to be a valid object): reject rather than silently
+        # importing a subset / default-valued garbage. Spark disallows
+        # querying the corrupt-record column straight off the file scan —
+        # cache first (per the QUERY_ONLY_CORRUPT_RECORD_COLUMN guidance).
+        raw = raw.cache()
+        n_bad = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        if n_bad:
+            raise ValueError(f"{bad_hint} ({n_bad} unparseable records)")
+        raw = raw.drop("_corrupt_record")
+        cols.discard("_corrupt_record")
 
     def col_or(name: str, default):
         return F.col(name) if name in cols else default

@@ -44,6 +44,29 @@ class StageResult:
     metrics: dict
 
 
+def _lineage_entries(out: DataFrame, data_dir: str) -> list[dict]:
+    """Per-file lineage: parquet file → row count (shared by load_or_run
+    and refresh_manifest so the two can never drift)."""
+
+    def _local_path(uri: str) -> str:
+        # input_file_name() yields file:/... or file:///... URIs
+        if uri.startswith("file:"):
+            uri = uri[len("file:") :]
+            while uri.startswith("//"):
+                uri = uri[1:]
+        return uri
+
+    return sorted(
+        (
+            {"file": os.path.relpath(_local_path(r["file"]), data_dir), "rows": r["rows"]}
+            for r in out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ),
+        key=lambda e: e["file"],
+    )
+
+
 class CheckpointStore:
     def __init__(self, root: str, spark: SparkSession) -> None:
         self.root = root
@@ -89,24 +112,7 @@ class CheckpointStore:
 
         out = self.spark.read.parquet(data_dir)
         rows = out.count()
-        # per-partition lineage: parquet files + row counts
-        def _local_path(uri: str) -> str:
-            # input_file_name() yields file:/... or file:///... URIs
-            if uri.startswith("file:"):
-                uri = uri[len("file:") :]
-                while uri.startswith("//"):
-                    uri = uri[1:]
-            return uri
-
-        lineage = sorted(
-            (
-                {"file": os.path.relpath(_local_path(r["file"]), data_dir), "rows": r["rows"]}
-                for r in out.groupBy(F.input_file_name().alias("file"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
-            ),
-            key=lambda e: e["file"],
-        )
+        lineage = _lineage_entries(out, data_dir)
         metrics = {"rows": rows, **(extra_metrics or {})}
         man = {
             "stage": stage,
@@ -129,25 +135,9 @@ class CheckpointStore:
         data_dir = os.path.join(self._dir(stage), "data")
         out = self.spark.read.parquet(data_dir)
         rows = out.count()
-
-        def _local_path(uri: str) -> str:
-            if uri.startswith("file:"):
-                uri = uri[len("file:") :]
-                while uri.startswith("//"):
-                    uri = uri[1:]
-            return uri
-
         man["rows"] = rows
         man["metrics"]["rows"] = rows
-        man["lineage"] = sorted(
-            (
-                {"file": os.path.relpath(_local_path(r["file"]), data_dir), "rows": r["rows"]}
-                for r in out.groupBy(F.input_file_name().alias("file"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
-            ),
-            key=lambda e: e["file"],
-        )
+        man["lineage"] = _lineage_entries(out, data_dir)
         with open(self.manifest_path(stage), "w") as f:
             json.dump(man, f, indent=1, sort_keys=True)
         return man

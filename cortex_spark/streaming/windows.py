@@ -19,6 +19,7 @@ ingest/autolink jobs:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -137,9 +138,19 @@ def stream_agent_state(spark: SparkSession, source_dir: str, out_dir: str):
             merged = old.join(fresh.select("agent"), "agent", "left_anti").unionByName(fresh)
         else:
             merged = fresh
-        merged.write.mode("overwrite").parquet(stats_dir + "_tmp")
-        out = spark.read.parquet(stats_dir + "_tmp")
-        out.write.mode("overwrite").parquet(stats_dir)
+        # atomic publish: write to tmp, then rename over the old dir — a
+        # crash mid-overwrite of stats_dir itself would otherwise leave a
+        # partial dir that the first-run check above reads as "fresh store",
+        # resetting accumulated state (the failure mode this block exists
+        # to prevent)
+        tmp = stats_dir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old_dir = stats_dir + "_old"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.isdir(stats_dir):
+            os.rename(stats_dir, old_dir)
+        os.rename(tmp, stats_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     return (
         updated.writeStream.outputMode("update")

@@ -286,3 +286,51 @@ def test_cli_prompt_deploy_rollback_status(spark, cli_store, capsys):
     assert st["quarantined"] is False and st["trigger"] is None
     unq = json.loads(_run(capsys, "--store", cli_store, "prompt", "unquarantine", "helper"))
     assert unq["quarantined"] is False
+
+
+def test_cli_review_fixes(spark, cli_store, capsys, tmp_path):
+    """Round-3 review regressions: pretty-printed JSON import, duplicate
+    node create, strict --since parsing, orphan-free export, no stale
+    data_tmp copies left in the store."""
+    from cortex_spark.cli import main
+
+    # pretty-printed whole-file array imports via --format json (multiLine)
+    arr = tmp_path / "export.json"
+    arr.write_text('[\n {"kind": "fact", "title": "arr one", "body": "x"},\n'
+                   ' {"kind": "goal", "title": "arr two", "body": "y"}\n]\n')
+    done = json.loads(_run(capsys, "--store", cli_store, "import", str(arr),
+                           "--format", "json", "--source", "arr"))
+    assert done["imported"] == 2
+    listed = json.loads(_run(capsys, "--store", cli_store, "node", "list", "--source", "arr"))
+    assert {n["title"] for n in listed} == {"arr one", "arr two"}
+    # the same file as jsonl is unparseable -> clear error, not garbage rows
+    assert main(["--store", cli_store, "import", str(arr), "--format", "jsonl"]) == 2
+
+    # duplicate create rejected (same content hash)
+    c = json.loads(_run(capsys, "--store", cli_store, "node", "create",
+                        "--kind", "fact", "--title", "dupcheck", "--body", "z"))
+    assert main(["--store", cli_store, "node", "create",
+                 "--kind", "fact", "--title", "dupcheck", "--body", "z"]) == 2
+
+    # strict --since: garbage and partial-garbage both rejected as JSON errors
+    assert main(["--store", cli_store, "audit", "--since", "nonsense"]) == 2
+    assert main(["--store", cli_store, "audit", "--since", "24hgarbage"]) == 2
+    capsys.readouterr()
+
+    # export never emits edges to tombstoned endpoints
+    import xml.etree.ElementTree as ET
+
+    _run(capsys, "--store", cli_store, "node", "delete", c["node_id"], "-y")
+    gml = tmp_path / "clean.graphml"
+    _run(capsys, "--store", cli_store, "export", "--output", str(gml), "--format", "graphml")
+    root = ET.parse(gml).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    declared = {n.get("id") for n in root.iter(f"{ns}node")}
+    for e in root.iter(f"{ns}edge"):
+        assert e.get("source") in declared and e.get("target") in declared
+
+    # table rewrites leave no stale data_tmp copy behind
+    import os
+
+    assert not os.path.exists(f"{cli_store}/canonical_nodes/data_tmp")
+    assert not os.path.exists(f"{cli_store}/canonical_edges/data_tmp")

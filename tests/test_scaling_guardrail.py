@@ -63,6 +63,9 @@ def test_kg_job_scales_2_to_8():
     #   best < 0.55 (or gray zone on a HEALTHY host) -> fail: engine regression
     if best >= MIN_EFFICIENCY:
         return
+    if health < 0.4:
+        pytest.skip(f"host too degraded to measure scaling (probe {probe8}, "
+                    f"{health:.0%} of healthy) — recorded: {records}")
     if best >= 0.55 and health < 0.85:
         pytest.skip(f"gray-zone efficiency {best} on a degraded host "
                     f"({health:.0%} of healthy probe) — recorded: {records}")
