@@ -2250,7 +2250,8 @@ def _kg_triples_sql() -> str:
         "('{}', '{}', '{}', {})".format(s, d, r, w) for s, d, r, w in golden["triples"]
     )
     return (
-        "SELECT * FROM (VALUES\n" + vals + "\n) AS t(src, dst, relation, weight)"
+        "SELECT src, dst, relation, CAST(weight AS DOUBLE) AS weight "
+        "FROM (VALUES\n" + vals + "\n) AS t(src, dst, relation, weight)"
     )
 
 
@@ -2268,7 +2269,8 @@ def _multimodal_sql() -> str:
         "('{}', {}, {}, {}, {})".format(m, w, h, c, f0)
         for m, w, h, c, f0 in golden["rows"]
     )
-    return ("SELECT * FROM (VALUES\n" + vals +
+    return ("SELECT media_id, width, height, channels, CAST(f0 AS DOUBLE) AS f0 "
+            "FROM (VALUES\n" + vals +
             "\n) AS t(media_id, width, height, channels, f0)")
 
 
@@ -2290,7 +2292,8 @@ def _briefing_sql() -> str:
             sec, idx, rank, nid, kind, esc(title), imp)
         for sec, idx, rank, nid, kind, title, imp in golden["rows"]
     )
-    return ("SELECT * FROM (VALUES\n" + vals +
+    return ("SELECT section, section_idx, section_rank, node_id, kind, title, "
+            "CAST(importance AS DOUBLE) AS importance FROM (VALUES\n" + vals +
             "\n) AS t(section, section_idx, section_rank, node_id, kind, title, importance)")
 
 
