@@ -92,29 +92,42 @@ def main() -> None:
 
     # stage 3: repartition + vectorized merge
     def merge_topk(batches):
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
+        import pyarrow as pa
+
+        a_parts, b_parts, s_parts = [], [], []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lens = rb.column(1).value_lengths().to_numpy().astype(np.int64)
+            a_parts.append(np.repeat(rb.column(0).to_numpy(), lens))
+            b_parts.append(rb.column(1).flatten().to_numpy())
+            s_parts.append(rb.column(2).flatten().to_numpy())
+        if not a_parts:
             return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        lens = np.fromiter((len(x) for x in pdf["bs"]), dtype=np.int64, count=len(pdf))
-        a = np.repeat(pdf["a_id"].to_numpy(), lens)
-        bs = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["bs"]])
-        ss = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["ss"]])
-        order = np.lexsort((-ss, bs, a))
+        a = np.concatenate(a_parts) if len(a_parts) > 1 else a_parts[0]
+        bs = np.concatenate(b_parts) if len(b_parts) > 1 else b_parts[0]
+        ss = np.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
+        order = np.lexsort((bs, a))
         a, bs, ss = a[order], bs[order], ss[order]
         first = np.ones(len(a), dtype=bool)
         first[1:] = (a[1:] != a[:-1]) | (bs[1:] != bs[:-1])
-        a, bs, ss = a[first], bs[first], ss[first]
+        starts0 = np.flatnonzero(first)
+        ss = np.maximum.reduceat(ss, starts0)
+        a, bs = a[starts0], bs[starts0]
         order = np.lexsort((bs, -ss, a))
         a, bs, ss = a[order], bs[order], ss[order]
         starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
         counts = np.diff(np.r_[starts, len(a)])
         rank = np.arange(len(a)) - np.repeat(starts, counts)
         keep = rank < k
-        yield pd.DataFrame({"a_id": a[keep], "b_id": bs[keep], "score": ss[keep]})
+        import pyarrow as pa
+
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(a[keep]), pa.array(bs[keep]), pa.array(ss[keep].astype(np.float64))],
+            names=["a_id", "b_id", "score"])
 
     t = time.time()
-    merged = per_bucket.repartition(cpus * 2, "a_id").mapInPandas(
+    merged = per_bucket.repartition(cpus * 2, "a_id").mapInArrow(
         merge_topk, schema="a_id long, b_id long, score double"
     ).localCheckpoint()
     n_m = merged.count()
