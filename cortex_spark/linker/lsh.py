@@ -196,41 +196,95 @@ def candidate_topk(
         .filter(F.col("sig").isNotNull())
     )
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def bucket_topk_partition(batches) -> "Iterator[pa.RecordBatch]":
         """One GEMM per bucket; emits ONE packed row per node (parallel
-        neighbor/score arrays) — shuffle records stay O(nodes·bands)."""
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"a_id": pd.Series(dtype="int64"), "bs": pd.Series(dtype=object), "ss": pd.Series(dtype=object)}
-            )
-        if n > max_bucket:  # hot-bucket guard (deterministic truncation)
-            pdf = pdf.sort_values("nid").head(max_bucket)
-            n = max_bucket
-        # float32 GEMM: embeddings are float32 already; halving the matrix
-        # bytes matters because this VM's aggregate memory bandwidth DROPS
-        # with thread count (BASELINE.md round-2 probes) — sgemm is
-        # deterministic single-threaded, scores stay stable across runs
-        X = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vec"]])
-        norms = np.linalg.norm(X, axis=1)
-        norms[norms == 0] = 1.0
-        Xn = X / norms[:, None]
-        S = Xn @ Xn.T
-        np.fill_diagonal(S, -np.inf)
-        kk = min(k, n - 1)
-        ids = pdf["nid"].to_numpy()
-        if kk < n - 1:
-            top_idx = np.argpartition(-S, kk, axis=1)[:, :kk]
-        else:
-            top_idx = np.argsort(-S, axis=1)[:, :kk]
-        scores = np.take_along_axis(S, top_idx, axis=1)
-        nbr_ids = ids[top_idx]
-        return pd.DataFrame(
-            {"a_id": ids, "bs": list(nbr_ids), "ss": list(scores)}
-        )
+        neighbor/score arrays) — shuffle records stay O(nodes·bands).
 
-    per_bucket = sigs.groupBy("sig").applyInPandas(
-        bucket_topk, schema="a_id long, bs array<long>, ss array<float>"
+        Arrow-native over sig-sorted partitions instead of
+        groupBy.applyInPandas: the actual BLAS here is ~2 s of the stage's
+        ~16 s — the rest was per-group pandas assembly plus one np.asarray
+        per row for the vector column. Buckets are contiguous after the
+        sortWithinPartitions("sig") below, the vector matrix reshapes
+        zero-copy from the flat ListArray values, and the packed output
+        builds via ListArray.from_arrays (flat values + offsets), never a
+        Python list of arrays.
+
+        float32 GEMM: embeddings are float32 already; halving the matrix
+        bytes matters because this VM's aggregate memory bandwidth DROPS
+        with thread count (BASELINE.md round-2 probes) — sgemm is
+        deterministic single-threaded, scores stay stable across runs."""
+        import pyarrow as pa
+
+        sig_parts, nid_parts, vec_parts = [], [], []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            vecs = rb.column(rb.schema.get_field_index("vec"))
+            vl = vecs.value_lengths().to_numpy()
+            if len(vl) and not (vl == dim).all():
+                raise ValueError("embedding length != declared dim")
+            sig_parts.append(rb.column(rb.schema.get_field_index("sig")).to_numpy())
+            nid_parts.append(rb.column(rb.schema.get_field_index("nid")).to_numpy())
+            vec_parts.append(
+                vecs.flatten().to_numpy().astype(np.float32, copy=False).reshape(-1, dim)
+            )
+        if not sig_parts:
+            return
+        sig = np.concatenate(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
+        nid = np.concatenate(nid_parts) if len(nid_parts) > 1 else nid_parts[0]
+        V = np.concatenate(vec_parts) if len(vec_parts) > 1 else vec_parts[0]
+        # batches arrive sig-sorted per partition but BATCH boundaries can
+        # split a bucket — re-sort the concatenated partition by (sig, nid).
+        # The nid key makes within-bucket row order (and thus argpartition
+        # tie-breaks on exactly-equal scores) independent of shuffle fetch
+        # order — strictly more deterministic than the applyInPandas
+        # predecessor, whose group order was arrival order.
+        order = np.lexsort((nid, sig))
+        sig, nid, V = sig[order], nid[order], V[order]
+        starts = np.r_[0, np.flatnonzero(sig[1:] != sig[:-1]) + 1, len(sig)]
+
+        out_a, out_b, out_s, out_counts = [], [], [], []
+        for gi in range(len(starts) - 1):
+            lo, hi = starts[gi], starts[gi + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            ids, X = nid[lo:hi], V[lo:hi]
+            if n > max_bucket:  # hot-bucket guard (deterministic truncation)
+                # rows are already nid-sorted within the bucket
+                ids, X = ids[:max_bucket], X[:max_bucket]
+                n = max_bucket
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            Xn = X / norms[:, None]
+            S = Xn @ Xn.T
+            np.fill_diagonal(S, -np.inf)
+            kk = min(k, n - 1)
+            if kk < n - 1:
+                top_idx = np.argpartition(-S, kk, axis=1)[:, :kk]
+            else:
+                top_idx = np.argsort(-S, axis=1)[:, :kk]
+            out_a.append(ids)
+            out_b.append(ids[top_idx].ravel())
+            out_s.append(np.take_along_axis(S, top_idx, axis=1).ravel())
+            out_counts.append(np.full(n, kk, dtype=np.int64))
+        if not out_a:
+            return
+        a_flat = np.concatenate(out_a)
+        counts = np.concatenate(out_counts)
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        bs_arr = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(np.concatenate(out_b)))
+        ss_arr = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(np.concatenate(out_s).astype(np.float32)))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(a_flat), bs_arr, ss_arr], names=["a_id", "bs", "ss"])
+
+    n_parts0 = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    per_bucket = (
+        sigs.repartition(n_parts0, "sig")
+        .sortWithinPartitions("sig")
+        .mapInArrow(bucket_topk_partition, schema="a_id long, bs array<long>, ss array<float>")
     )
 
     def merge_topk(batches) -> "Iterator[pa.RecordBatch]":
