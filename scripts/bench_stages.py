@@ -62,30 +62,64 @@ def main() -> None:
     out["sig_explode"] = round(time.time() - t, 2)
     out["sig_rows"] = n_sigs
 
-    # stage 2: bucket GEMM top-k
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"a_id": pd.Series(dtype="int64"), "bs": pd.Series(dtype=object), "ss": pd.Series(dtype=object)})
-        if n > max_bucket:
-            pdf = pdf.sort_values("nid").head(max_bucket)
-            n = max_bucket
-        X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        norms = np.linalg.norm(X, axis=1)
-        norms[norms == 0] = 1.0
-        Xn = X / norms[:, None]
-        S = Xn @ Xn.T
-        np.fill_diagonal(S, -np.inf)
-        kk = min(k, n - 1)
-        ids = pdf["nid"].to_numpy()
-        top_idx = np.argpartition(-S, kk, axis=1)[:, :kk] if kk < n - 1 else np.argsort(-S, axis=1)[:, :kk]
-        scores = np.take_along_axis(S, top_idx, axis=1)
-        return pd.DataFrame({"a_id": ids, "bs": list(ids[top_idx]), "ss": list(scores)})
+    # stage 2: bucket GEMM top-k (mirrors production candidate_topk:
+    # Arrow-native over sig-sorted partitions, zero-copy matrices)
+    def bucket_topk_partition(batches):
+        import pyarrow as pa
+
+        sig_parts, nid_parts, vec_parts = [], [], []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            vecs = rb.column(rb.schema.get_field_index("vec"))
+            sig_parts.append(rb.column(rb.schema.get_field_index("sig")).to_numpy())
+            nid_parts.append(rb.column(rb.schema.get_field_index("nid")).to_numpy())
+            vec_parts.append(vecs.flatten().to_numpy().astype(np.float32, copy=False).reshape(-1, 64))
+        if not sig_parts:
+            return
+        sig = np.concatenate(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
+        nid = np.concatenate(nid_parts) if len(nid_parts) > 1 else nid_parts[0]
+        V = np.concatenate(vec_parts) if len(vec_parts) > 1 else vec_parts[0]
+        order = np.lexsort((nid, sig))
+        sig, nid, V = sig[order], nid[order], V[order]
+        starts = np.r_[0, np.flatnonzero(sig[1:] != sig[:-1]) + 1, len(sig)]
+        out_a, out_b, out_s, out_counts = [], [], [], []
+        for gi in range(len(starts) - 1):
+            lo, hi = starts[gi], starts[gi + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            ids, X = nid[lo:hi], V[lo:hi]
+            if n > max_bucket:
+                ids, X = ids[:max_bucket], X[:max_bucket]
+                n = max_bucket
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            Xn = X / norms[:, None]
+            S = Xn @ Xn.T
+            np.fill_diagonal(S, -np.inf)
+            kk = min(k, n - 1)
+            top_idx = np.argpartition(-S, kk, axis=1)[:, :kk] if kk < n - 1 else np.argsort(-S, axis=1)[:, :kk]
+            out_a.append(ids)
+            out_b.append(ids[top_idx].ravel())
+            out_s.append(np.take_along_axis(S, top_idx, axis=1).ravel())
+            out_counts.append(np.full(n, kk, dtype=np.int64))
+        if not out_a:
+            return
+        a_flat = np.concatenate(out_a)
+        offsets = np.r_[0, np.cumsum(np.concatenate(out_counts))].astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(a_flat),
+             pa.ListArray.from_arrays(pa.array(offsets), pa.array(np.concatenate(out_b))),
+             pa.ListArray.from_arrays(pa.array(offsets), pa.array(np.concatenate(out_s).astype(np.float32)))],
+            names=["a_id", "bs", "ss"])
 
     t = time.time()
-    per_bucket = sigs.groupBy("sig").applyInPandas(
-        bucket_topk, schema="a_id long, bs array<long>, ss array<double>"
-    ).localCheckpoint()
+    per_bucket = (
+        sigs.repartition(cpus * 2, "sig").sortWithinPartitions("sig")
+        .mapInArrow(bucket_topk_partition, schema="a_id long, bs array<long>, ss array<float>")
+        .localCheckpoint()
+    )
     n_pb = per_bucket.count()
     out["bucket_gemm"] = round(time.time() - t, 2)
     out["bucket_rows"] = n_pb
