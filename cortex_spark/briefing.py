@@ -46,7 +46,7 @@ def generate_briefing(
 ) -> DataFrame:
     """Returns (section, section_rank, node_id, kind, title, importance)."""
     spark = nodes.sparkSession
-    live = nodes.filter(~F.col("deleted"))
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     # created_at rides along so the active_context allocation cut can re-sort
     base_cols = ["node_id", "kind", "title", "body", "importance", "access_count", "created_at"]
 

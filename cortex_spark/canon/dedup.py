@@ -47,7 +47,7 @@ def dedup_pairs(
     Pass `candidates` (linker.pipeline.ann_candidates output) to reuse the
     linker's candidate structure instead of recomputing the similarity join.
     """
-    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     if candidates is not None or use_lsh:
         # threshold search via top-k candidates (dedup-grade pairs are always
         # within a node's top neighbors), canonicalized to a_id < b_id

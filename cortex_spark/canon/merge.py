@@ -83,7 +83,16 @@ def merge_node_attrs(nodes: DataFrame, cmap: DataFrame, run_ts: datetime) -> Dat
     retired = nodes.join(
         cmap.withColumnRenamed("node_id", "nid"),
         nodes["node_id"] == F.col("nid"),
-    ).select(F.col("canonical"), F.col("nid"), F.col("tags"), F.col("metadata"), F.col("importance"))
+    ).select(
+        F.col("canonical"),
+        F.col("nid"),
+        # null-safe: tags/metadata are nullable in the schema, and a null
+        # inside the folds below would poison the whole accumulator
+        # (concat(null, x) = null) — treat null as empty
+        F.coalesce(F.col("tags"), F.array().cast("array<string>")).alias("tags"),
+        F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")).alias("metadata"),
+        F.col("importance"),
+    )
     by_nid = lambda l, r: F.when(l["nid"] < r["nid"], -1).when(l["nid"] > r["nid"], 1).otherwise(0)  # noqa: E731
     folded = retired.groupBy("canonical").agg(
         F.aggregate(
@@ -109,8 +118,11 @@ def merge_node_attrs(nodes: DataFrame, cmap: DataFrame, run_ts: datetime) -> Dat
             F.when(
                 F.col("canonical").isNotNull(),
                 F.concat(
-                    F.col("tags"),
-                    F.array_except(F.coalesce(F.col("r_tags"), F.array()), F.col("tags")),
+                    F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                    F.array_except(
+                        F.coalesce(F.col("r_tags"), F.array()),
+                        F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                    ),
                 ),
             ).otherwise(F.col("tags")),
         )
@@ -119,10 +131,12 @@ def merge_node_attrs(nodes: DataFrame, cmap: DataFrame, run_ts: datetime) -> Dat
             F.when(
                 F.col("canonical").isNotNull(),
                 F.map_concat(
-                    F.col("metadata"),
+                    F.coalesce(F.col("metadata"), F.create_map().cast("map<string,string>")),
                     F.map_filter(
                         F.coalesce(F.col("r_meta"), F.create_map().cast("map<string,string>")),
-                        lambda k, _: ~F.array_contains(F.map_keys(F.col("metadata")), k),
+                        lambda k, _: ~F.array_contains(
+                            F.map_keys(F.coalesce(F.col("metadata"),
+                                                  F.create_map().cast("map<string,string>"))), k),
                     ),
                 ),
             ).otherwise(F.col("metadata")),

@@ -626,7 +626,7 @@ def _cmd_node(spark, args, nodes) -> int:
             return _die(f"node {args.id} not found")
         print(json.dumps(_node_row_json(r)))
     elif args.node_cmd == "list":
-        df = nodes.filter(~F.col("deleted"))
+        df = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         if args.kind:
             df = df.filter(F.col("kind") == args.kind)
         if args.source:
@@ -759,7 +759,7 @@ def _cmd_import(spark, args) -> int:
 def _cmd_export(args, nodes, edges) -> int:
     from pyspark.sql import functions as F
 
-    live_nodes = nodes.filter(~F.col("deleted"))
+    live_nodes = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     if args.kind:
         live_nodes = live_nodes.filter(F.col("kind") == args.kind)
     # ALWAYS restrict edges to live exported endpoints — an edge referencing
@@ -833,7 +833,7 @@ def _overwrite_edges(spark, store: str, edges_df) -> None:
 def _cmd_agent(spark, args, nodes, edges) -> int:
     from pyspark.sql import functions as F
 
-    agents = nodes.filter((F.col("kind") == "agent") & ~F.col("deleted"))
+    agents = nodes.filter((F.col("kind") == "agent") & ~F.coalesce(F.col("deleted"), F.lit(False)))
     if args.agent_cmd == "list":
         rows = agents.orderBy("title").collect()
         print(json.dumps([

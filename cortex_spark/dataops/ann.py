@@ -64,8 +64,8 @@ def ann_topk_lsh(
     seed: int = 7,
 ) -> DataFrame:
     """LSH-bucketed top-k: only candidates sharing ≥1 band are scored."""
-    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
+    dim_row = corpus.select(F.size(vec_col).alias("d")).filter("d is not null").first()
+    dim = int(dim_row["d"]) if dim_row else 384
     c = add_lsh_bands(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", dim, n_planes, bands, seed,
@@ -92,6 +92,7 @@ def _ivf_sample(corpus, vec_col: str, corpus_id: str, sample_cap: int, seed: int
     k = max(1, n // (2 * sample_cap))
     return (
         corpus.select(F.col(vec_col).alias("v"), F.col(corpus_id).alias("i"))
+        .filter(F.col("v").isNotNull())
         .filter(F.pmod(h, F.lit(k)) == 0)
         .orderBy(h)
         .limit(sample_cap)
@@ -175,11 +176,15 @@ def ann_topk_ivf(
     C = centroids if centroids is not None else fit_ivf_centroids(
         corpus, vec_col, corpus_id, n_centroids, seed=seed
     )
+    # null-embedding rows are dropped on BOTH sides (the same contract as
+    # the linker paths); _cell_udf would otherwise fail the whole stage on a
+    # ragged batch
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
+    ).filter(F.col("c_vec").isNotNull()).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
     q = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .filter(F.col("q_vec").isNotNull())
         .withColumn("cell", F.explode(_cell_udf(C, nprobe)(F.col("q_vec"))))
     )
     cands = (
@@ -221,7 +226,7 @@ class IvfIndexStore:
         ).parquet(self.centroids_path)
         assigned = corpus.select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        ).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
+        ).filter(F.col("c_vec").isNotNull()).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
         assigned.write.mode("overwrite").partitionBy("cell").parquet(self.lists_path)
 
     def centroids(self):
@@ -240,6 +245,7 @@ class IvfIndexStore:
         C = self.centroids()
         q = (
             queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+            .filter(F.col("q_vec").isNotNull())
             .withColumn("cell", F.explode(_cell_udf(C, nprobe)(F.col("q_vec"))))
             .localCheckpoint(eager=True)
         )

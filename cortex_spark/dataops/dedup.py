@@ -135,12 +135,23 @@ def simhash_udf(seed: int = 11):
     return _simhash
 
 
+def _cap_buckets(chunks: DataFrame, max_bucket: int) -> DataFrame:
+    """Hot-bucket guard for the simhash chunk index, mirroring the minhash
+    path: 16-bit chunk values mean bucket population grows linearly with
+    corpus size (and degenerate corpora — e.g. many empty docs hashing to
+    chunk 0 — go quadratic outright without it). Deterministic truncation
+    in doc_id order."""
+    w = Window.partitionBy("chunk_idx", "chunk").orderBy("doc_id")
+    return chunks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= max_bucket).drop("rn")
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 11,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: 4×16-bit chunk index (pigeonhole: Hamming
     ≤ 3 ⇒ at least one of 4 chunks equal), exact Hamming rescoring."""
@@ -152,6 +163,7 @@ def simhash_pairs(
             F.array(*[F.shiftrightunsigned(F.col("sh"), 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
         ).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_buckets(chunks, max_bucket)
     a = chunks.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "chunk_idx", "chunk")
     b = chunks.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "chunk_idx", "chunk")
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
@@ -210,10 +222,12 @@ def simhash_pairs_native(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 11,
+    max_bucket: int = 2000,
 ) -> DataFrame:
     """Near-dup pairs from the native md5 SimHash: candidates = any of the
     4 16-bit chunks equal (pigeonhole-complete for Hamming ≤ 3), exact
-    Hamming rescoring over all 4 chunks. Never all-pairs."""
+    Hamming rescoring over all 4 chunks. Never all-pairs; hot chunk buckets
+    capped at max_bucket (see _cap_buckets)."""
     f = simhash_chunks_native(df, text_col, id_col, seed)
     chunks = f.select(
         "doc_id",
@@ -223,6 +237,7 @@ def simhash_pairs_native(
         "c3",
         F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk"),
     )
+    chunks = _cap_buckets(chunks, max_bucket)
     a = chunks.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"c{c}").alias(f"a_c{c}") for c in range(4)],

@@ -401,9 +401,14 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     containers whose codec is stubbed."""
     from pyspark.sql import functions as F
 
-    n = (F.col("media_meta.duration_ms") / every_ms).cast("int")
+    # ceil(duration/every): one sample per started interval — the same
+    # `ts < duration` schedule the real decoder walks, so plan and decode
+    # agree for non-multiple durations; null/zero duration emits no rows
+    # (previously it emitted a phantom frame 0)
+    dur = F.col("media_meta.duration_ms")
+    n = F.ceil(dur / every_ms).cast("int")
     return (
-        media.filter(F.col("kind") == "video")
-        .select("media_id", F.posexplode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias("frame_idx", "_"))
+        media.filter((F.col("kind") == "video") & dur.isNotNull() & (dur > 0))
+        .select("media_id", F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "_"))
         .select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms"))
     )

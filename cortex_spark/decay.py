@@ -122,7 +122,7 @@ def retention_sweep(
         ttl = F.when(F.col("kind") == k, F.lit(d)) if ttl is None else ttl.when(F.col("kind") == k, F.lit(d))
     ttl = (ttl.otherwise(F.lit(default_ttl_days)) if ttl is not None else F.lit(default_ttl_days)).cast("double")
 
-    cand = nodes.filter(~F.col("deleted")).filter(ttl.isNotNull() & (age_days > ttl) & (idle_days > grace_days))
+    cand = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(ttl.isNotNull() & (age_days > ttl) & (idle_days > grace_days))
     if min_score_by_kind:
         relevance = score_decay_col(
             F.lit(1.0), F.col("kind"), F.col("last_accessed_at"), F.col("access_count"),
@@ -134,7 +134,7 @@ def retention_sweep(
         ms = ms.otherwise(F.lit(None).cast("double"))
         cand = cand.filter(ms.isNull() | (relevance < ms))
     if protect_linked:
-        live = nodes.filter(~F.col("deleted")).select(F.col("node_id").alias("src"))
+        live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).select(F.col("node_id").alias("src"))
         live_inbound = edges.join(live, "src").select(F.col("dst").alias("node_id")).distinct()
         cand = cand.join(live_inbound, "node_id", "left_anti")
     return cand.select("node_id")
@@ -166,7 +166,7 @@ def eviction_candidates(
     """
     if strategy != "oldest_lowest_importance":
         raise ValueError(f"Unknown eviction strategy: {strategy}")  # retention.rs:283-286
-    live = nodes.filter(~F.col("deleted"))
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     n = live_count if live_count is not None else live.count()
     excess = n - limit
     if excess <= 0:
@@ -244,7 +244,7 @@ def apply_retention(
     """
     doomed = retention_sweep(nodes, edges, now, **sweep_kwargs)
     if max_nodes is not None:
-        after = nodes.filter(~F.col("deleted")).join(doomed, "node_id", "left_anti")
+        after = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).join(doomed, "node_id", "left_anti")
         evicted = eviction_candidates(after, max_nodes, eviction_strategy)
         doomed = doomed.unionByName(evicted).distinct()
     doomed = doomed.localCheckpoint(eager=True)

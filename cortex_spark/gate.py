@@ -186,7 +186,7 @@ def conflict_verdicts(
         F.col("node_id").alias("in_id"), F.col("embedding"), F.col("kind").alias("in_kind"),
         F.col("source_agent").alias("in_agent"),
     )
-    ex = existing.filter(~F.col("deleted")).select(
+    ex = existing.filter(~F.coalesce(F.col("deleted"), F.lit(False))).select(
         F.col("node_id").alias("ex_id"), F.col("embedding"), F.col("kind").alias("ex_kind"),
         F.col("source_agent").alias("ex_agent"),
     )

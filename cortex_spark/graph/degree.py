@@ -22,7 +22,7 @@ def most_connected(nodes: DataFrame, edges: DataFrame, n: int = 10) -> DataFrame
     """Top-N live nodes by degree, deterministic tie-break on node_id."""
     return (
         degree(edges)
-        .join(nodes.filter(~F.col("deleted")).select("node_id", "kind", "title"), "node_id")
+        .join(nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).select("node_id", "kind", "title"), "node_id")
         .orderBy(F.desc("degree"), F.asc("node_id"))
         .limit(n)
     )

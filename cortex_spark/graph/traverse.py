@@ -215,7 +215,7 @@ def reachable(edges: DataFrame, start: list[str], direction: str = "out", max_it
 def roots(nodes: DataFrame, edges: DataFrame, relation: str | None = None) -> DataFrame:
     """Nodes with no incoming edge of `relation` (engine.rs:206-229)."""
     e = edges if relation is None else edges.filter(F.col("relation") == relation)
-    return nodes.filter(~F.col("deleted")).join(
+    return nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).join(
         e.select(F.col("dst").alias("node_id")).distinct(), "node_id", "left_anti"
     )
 
@@ -223,7 +223,7 @@ def roots(nodes: DataFrame, edges: DataFrame, relation: str | None = None) -> Da
 def leaves(nodes: DataFrame, edges: DataFrame, relation: str | None = None) -> DataFrame:
     """Nodes with no outgoing edge of `relation` (engine.rs:231-254)."""
     e = edges if relation is None else edges.filter(F.col("relation") == relation)
-    return nodes.filter(~F.col("deleted")).join(
+    return nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).join(
         e.select(F.col("src").alias("node_id")).distinct(), "node_id", "left_anti"
     )
 

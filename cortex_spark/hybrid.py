@@ -41,7 +41,7 @@ def vector_search(
     pre-score). The query vector is a literal array — no shuffle, one scan +
     TakeOrdered."""
     qvec = F.array(*[F.lit(float(x)) for x in encode_py(query_text, embed_dim, embed_seed)])
-    df = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    df = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     if kinds:
         df = df.filter(F.col("kind").isin(kinds))
     if exclude_ids:
@@ -59,7 +59,7 @@ def search_threshold(nodes: DataFrame, query_text: str, threshold: float, embed_
     """All nodes with cosine ≥ threshold (index.rs:375-387)."""
     qvec = F.array(*[F.lit(float(x)) for x in encode_py(query_text, embed_dim, embed_seed)])
     return (
-        nodes.filter(~F.col("deleted"))
+        nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         .filter(F.col("embedding").isNotNull())
         .withColumn("vector_score", cosine_col(F.col("embedding"), qvec))
         .filter(F.col("vector_score") >= threshold)

@@ -78,5 +78,5 @@ def import_nodes_json(
 
 def export_graph(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Write the live graph as JSON (nodes/ + edges/ subdirs)."""
-    nodes.filter(~F.col("deleted")).drop("embedding").write.mode("overwrite").json(f"{out_dir}/nodes")
+    nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).drop("embedding").write.mode("overwrite").json(f"{out_dir}/nodes")
     edges.write.mode("overwrite").json(f"{out_dir}/edges")

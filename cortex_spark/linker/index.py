@@ -17,7 +17,12 @@ distributed analogue:
 
 Index staleness semantics match the reference: deleted nodes are filtered
 at probe time via the caller's live-node set (HNSW likewise keeps stale
-entries until rebuild, vector/index.rs:182-211).
+entries until rebuild, vector/index.rs:182-211). UPDATED nodes are handled
+by version sequencing: every append stamps its rows with a monotonically
+increasing `append_seq`; probe deterministically scores each candidate
+against the NEWEST version visible in the probed buckets, and `compact()`
+(the HNSW-rebuild analogue) rewrites the index dropping all superseded
+versions, after which only current vectors can match at all.
 """
 
 from __future__ import annotations
@@ -81,10 +86,14 @@ class LshIndexStore:
 
     def append(self, fresh: DataFrame, id_col: str = "node_id", vec_col: str = "embedding") -> int:
         """Index the fresh nodes (signatures computed for THEM ONLY)."""
-        sigs = self._sigs(fresh, id_col, vec_col)
+        # materialize once: the sig write and the count below would otherwise
+        # each re-run the caller's upstream plan end-to-end
+        fresh = fresh.localCheckpoint(eager=True)
+        meta = self.meta()
+        seq = len(meta.get("appends", []))
+        sigs = self._sigs(fresh, id_col, vec_col).withColumn("append_seq", F.lit(seq))
         sigs.write.mode("append").parquet(self.data_dir)
         n = int(fresh.count())
-        meta = self.meta()
         meta["rows_indexed"] = meta.get("rows_indexed", 0) + n
         meta["appends"] = meta.get("appends", []) + [n]
         self._write_meta(meta)
@@ -103,20 +112,68 @@ class LshIndexStore:
         """(a_id, b_id, score): top-k stored neighbors per query node.
 
         One shuffle join on `sig` against the stored index scan — the stored
-        side is never re-bucketed or re-embedded. Callers semi-join b_id
-        against their live set to drop tombstoned entries (HNSW-stale
-        semantics)."""
-        idx = self.spark.read.parquet(self.data_dir).select(
-            F.col("node_id").alias("b_id"), F.col("vec").alias("b_vec"), "sig"
+        side is never re-bucketed or re-embedded; only the PROBED buckets
+        (broadcast semi-join on the fresh side's sigs) are read, hot buckets
+        are capped at `max_bucket` newest-first (the same quadratic-blowup
+        guard as candidate_pairs/candidate_topk), and duplicate (a, b)
+        candidates resolve to the stored node's NEWEST appended vector
+        (max append_seq). Callers semi-join b_id against their live set to
+        drop tombstoned entries (HNSW-stale semantics)."""
+        from cortex_spark.linker.lsh import DEFAULT_MAX_BUCKET
+
+        idx = self.spark.read.parquet(self.data_dir)
+        if "append_seq" not in idx.columns:  # pre-versioning index layout
+            idx = idx.withColumn("append_seq", F.lit(0))
+        idx = idx.select(
+            F.col("node_id").alias("b_id"), F.col("vec").alias("b_vec"), "sig",
+            F.col("append_seq").alias("b_seq"),
         )
         q = self._sigs(queries, id_col, vec_col).select(
             F.col("node_id").alias("a_id"), F.col("vec").alias("a_vec"), "sig"
         )
-        cands = idx.join(q, "sig")
+        # touch only probed buckets; cap each at max_bucket, newest versions
+        # and lowest ids first (deterministic truncation)
+        probe_sigs = q.select("sig").distinct()
+        idx_hit = idx.join(F.broadcast(probe_sigs), "sig")
+        w_cap = Window.partitionBy("sig").orderBy(F.desc("b_seq"), F.asc("b_id"))
+        idx_hit = (
+            idx_hit.withColumn("rn", F.row_number().over(w_cap))
+            .filter(F.col("rn") <= DEFAULT_MAX_BUCKET)
+            .drop("rn")
+        )
+        cands = idx_hit.join(q, "sig")
         if exclude_self:
             cands = cands.filter(F.col("a_id") != F.col("b_id"))
-        scored = cands.dropDuplicates(["a_id", "b_id"]).select(
-            "a_id", "b_id", cosine_col(F.col("a_vec"), F.col("b_vec")).alias("score")
+        # newest VISIBLE version of each stored node wins for re-appended
+        # (updated) nodes — resolved per b_id across all probed buckets, so
+        # a candidate surfaced via a stale version's signature still scores
+        # against the newest vector those buckets know (run compact() to
+        # drop superseded versions entirely)
+        latest_b = cands.groupBy("b_id").agg(
+            F.max_by(F.col("b_vec"), F.col("b_seq")).alias("b_latest")
+        )
+        pairs = cands.select("a_id", "b_id", "a_vec").dropDuplicates(["a_id", "b_id"])
+        scored = pairs.join(latest_b, "b_id").select(
+            "a_id", "b_id", cosine_col(F.col("a_vec"), F.col("b_latest")).alias("score")
         )
         w = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
         return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+    def compact(self) -> int:
+        """Drop all superseded node versions (keep each node_id's rows at
+        its max append_seq) — the maintenance analogue of an HNSW rebuild.
+        Returns the number of surviving signature rows."""
+        idx = self.spark.read.parquet(self.data_dir)
+        if "append_seq" not in idx.columns:
+            return idx.count()
+        latest = idx.groupBy("node_id").agg(F.max("append_seq").alias("append_seq"))
+        kept = idx.join(latest, ["node_id", "append_seq"])
+        tmp = self.data_dir + "_compact"
+        kept.write.mode("overwrite").parquet(tmp)
+        out = self.spark.read.parquet(tmp)
+        n = out.count()
+        out.write.mode("overwrite").parquet(self.data_dir)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return n

@@ -272,6 +272,13 @@ def candidate_topk(
             return
         a_flat = np.concatenate(out_a)
         counts = np.concatenate(out_counts)
+        total = int(counts.sum())
+        if total >= 2**31:  # ListArray offsets are int32 — fail loud, never wrap
+            raise ValueError(
+                f"partition emits {total} neighbor entries (≥ 2^31); raise "
+                "spark.sql.shuffle.partitions so per-partition output fits "
+                "int32 list offsets"
+            )
         offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
         bs_arr = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(np.concatenate(out_b)))

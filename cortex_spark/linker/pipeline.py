@@ -90,7 +90,7 @@ def ann_candidates(
     the dedup scanner — both consume the same candidate structure.
     """
     cfg = config or LinkerConfig()
-    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     if use_lsh:
         return candidate_topk(live, k=cfg.ann_k, **(lsh_kwargs or {}))
     ordered = symmetrize(brute_force_pairs(live))
@@ -120,7 +120,7 @@ def link_nodes(
     """
     cfg = config or LinkerConfig()
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
-    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     ordered = candidates if candidates is not None else ann_candidates(nodes, cfg, use_lsh, lsh_kwargs)
     needs_body = any(
         r.condition in ("body_field_contains", "body_field_ref") for r in cfg.config_rules

@@ -132,7 +132,7 @@ def doctor(spark: SparkSession, out_dir: str) -> list[dict]:
         )
         check("duplicate edges", "ok" if dups == 0 else "error", f"{dups} duplicate (src,dst,relation)")
 
-        missing_emb = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNull()).count()
+        missing_emb = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNull()).count()
         check(
             "embedding coverage",
             "ok" if missing_emb == 0 else "warning",

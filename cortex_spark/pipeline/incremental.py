@@ -97,7 +97,7 @@ def run_cycle(
         cycle = meta.get("cycle", 0)
 
     cursor_lit = F.to_timestamp(F.lit(cursor.strftime("%Y-%m-%d %H:%M:%S")))
-    live = nodes.filter(~F.col("deleted")).filter(F.col("embedding").isNotNull())
+    live = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     fresh = select_fresh(live, cursor_lit, max_nodes_per_cycle).localCheckpoint(eager=True)
     n_fresh = fresh.count()
     if n_fresh == 0:

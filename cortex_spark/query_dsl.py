@@ -435,7 +435,7 @@ def apply_node_filter(nodes: DataFrame, nf: NodeFilter, offset: int | None = Non
     if nf.deleted_only:
         df = df.filter(F.col("deleted"))
     elif not nf.include_deleted:
-        df = df.filter(~F.col("deleted"))
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     df = df.orderBy(F.desc("created_at"), F.asc("node_id"))
     off = offset if offset is not None else nf.offset
     if off:
@@ -457,7 +457,7 @@ def query(nodes: DataFrame, dsl: str, now: datetime | None = None, spark_native:
         df = nodes.filter(compile_column(ast)).orderBy(F.desc("created_at"), F.asc("node_id"))
         # default: exclude deleted unless the query mentions 'deleted'
         if "deleted" not in dsl:
-            df = nodes.filter(compile_column(ast) & ~F.col("deleted")).orderBy(
+            df = nodes.filter(compile_column(ast) & ~F.coalesce(F.col("deleted"), F.lit(False))).orderBy(
                 F.desc("created_at"), F.asc("node_id")
             )
         return df.limit(limit) if limit else df

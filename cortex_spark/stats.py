@@ -12,7 +12,7 @@ def stats(nodes: DataFrame, edges: DataFrame) -> dict:
     would prune to the kind partition (F2)."""
     by_kind = {
         r["kind"]: r["n"]
-        for r in nodes.filter(~F.col("deleted")).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     by_relation = {
         r["relation"]: r["n"]
@@ -28,7 +28,7 @@ def stats(nodes: DataFrame, edges: DataFrame) -> dict:
 
 def count_nodes(nodes: DataFrame, kinds: list[str] | None = None, include_deleted: bool = False) -> int:
     """A2: optimized count (redb_storage.rs:736-758 → partition-pruned scan)."""
-    df = nodes if include_deleted else nodes.filter(~F.col("deleted"))
+    df = nodes if include_deleted else nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     if kinds:
         df = df.filter(F.col("kind").isin(kinds))
     return df.count()

@@ -107,7 +107,10 @@ def main() -> None:
         if not out_a:
             return
         a_flat = np.concatenate(out_a)
-        offsets = np.r_[0, np.cumsum(np.concatenate(out_counts))].astype(np.int32)
+        counts = np.concatenate(out_counts)
+        if int(counts.sum()) >= 2**31:
+            raise ValueError("partition output exceeds int32 list offsets")
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
         yield pa.RecordBatch.from_arrays(
             [pa.array(a_flat),
              pa.ListArray.from_arrays(pa.array(offsets), pa.array(np.concatenate(out_b))),

@@ -51,9 +51,16 @@ def test_real_codec_stub_quarantines(spark):
 
 
 def test_frame_sampling(spark):
-    df = _media_df(spark, [("v1", "video", None, ("video/fake", None, None, None, 3500))])
+    """Schedule parity with the real decoder: one sample per STARTED
+    interval (ts < duration), so 3500 ms @ 1000 ms -> 0,1000,2000,3000
+    exactly like decode_video_frames; null duration emits nothing."""
+    df = _media_df(spark, [
+        ("v1", "video", None, ("video/fake", None, None, None, 3500)),
+        ("v2", "video", None, ("video/fake", None, None, None, None)),
+    ])
     frames = sample_frames(df, every_ms=1000).collect()
-    assert [f["ts_ms"] for f in frames] == [0, 1000, 2000]
+    assert [f["ts_ms"] for f in frames if f["media_id"] == "v1"] == [0, 1000, 2000, 3000]
+    assert not [f for f in frames if f["media_id"] == "v2"]
 
 
 def test_ppm_pgm_real_decode(spark):

@@ -8,6 +8,7 @@ from datetime import datetime
 
 import numpy as np
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from tests.conftest import make_edge, make_node
@@ -301,6 +302,43 @@ def test_index_store_probe_matches_full_lsh(spark, nodes_df_factory, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_index_probe_scores_newest_vector_version(spark, nodes_df_factory, tmp_path):
+    """Updated-node semantics: after compact() only current vectors exist,
+    so every probe score must equal cosine against the v2 embedding —
+    never a stale v1 copy (append_seq versioning + compaction)."""
+    from cortex_spark.functions.similarity import cosine_col
+    from cortex_spark.linker.index import LshIndexStore
+
+    v1_rows = _embed_rows(6, seed=21)
+    store = LshIndexStore(str(tmp_path / "idx"), spark, dim=32)
+    store.append(nodes_df_factory(v1_rows))
+    # updated versions of the SAME node ids (different embeddings)
+    v2_rows = [make_node(f"n{i}", embedding=r[6]) for i, r in enumerate(_embed_rows(6, seed=22))]
+    v2 = nodes_df_factory(v2_rows)
+    store.append(v2)
+    survivors = store.compact()
+    # only the newest version's signature rows survive compaction
+    idx = spark.read.parquet(str(tmp_path / "idx" / "data"))
+    assert idx.select("append_seq").distinct().collect() == [Row(append_seq=1)] or (
+        idx.groupBy("node_id").agg(F.countDistinct("append_seq").alias("n"))
+        .filter("n > 1").isEmpty()
+    )
+    assert survivors == idx.count()
+
+    probe_q = nodes_df_factory(_embed_rows(3, seed=23, prefix="q"))
+    got = {(r["a_id"], r["b_id"]): round(r["score"], 6) for r in store.probe(probe_q, k=6).collect()}
+    expect = {
+        (r["a_id"], r["b_id"]): round(r["score"], 6)
+        for r in probe_q.select(F.col("node_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+        .crossJoin(v2.select(F.col("node_id").alias("b_id"), F.col("embedding").alias("b_vec")))
+        .select("a_id", "b_id", cosine_col(F.col("a_vec"), F.col("b_vec")).alias("score"))
+        .collect()
+    }
+    assert got, "probe returned nothing"
+    for key, score in got.items():
+        assert key in expect and expect[key] == score, (key, score, expect.get(key))
 
 
 def test_run_cycle_with_index_scales_with_fresh_count(spark, nodes_df_factory, edges_df_factory, tmp_path):
