@@ -63,13 +63,18 @@ def apply_decay(
     is_exempt = F.lit(exempt_manual) & (F.col("provenance.ptype") == "manual")
     e = e.withColumn("new_weight", F.when(is_exempt, F.col("weight").cast("double")).otherwise(decayed))
 
+    # manual edges are exempt from the whole sweep (decay.rs:36-40), the
+    # delete filter included — a manual edge stored below the threshold
+    # must survive, not be silently swept
     survivors = (
-        e.filter(F.col("new_weight") >= delete_threshold)
+        e.filter((F.col("new_weight") >= delete_threshold) | is_exempt)
         .withColumn("weight", F.col("new_weight").cast("float"))
         .drop("new_weight", "src_imp", "dst_imp")
     )
     counts = e.agg(
-        F.sum(F.when(F.col("new_weight") < delete_threshold, 1).otherwise(0)).alias("deleted"),
+        F.sum(
+            F.when((F.col("new_weight") < delete_threshold) & ~is_exempt, 1).otherwise(0)
+        ).alias("deleted"),
         F.sum(
             F.when(
                 (F.col("new_weight") >= delete_threshold) & (F.col("new_weight") < prune_threshold), 1

@@ -137,6 +137,11 @@ def yen_k_shortest(
             for p in paths:
                 if p[: i + 1] == root and len(p) > i + 1:
                     banned.add((p[i], p[i + 1]))
+            if not directed:
+                # an undirected hop u-v may be STORED as (v, u): ban both
+                # orientations or the projection re-creates the banned hop
+                # and the spur search just rediscovers the same path
+                banned |= {(v, u) for u, v in banned}
             banned_df = edges.sparkSession.createDataFrame(
                 [(u, v) for u, v in banned] or [("", "")], "bsrc string, bdst string"
             )

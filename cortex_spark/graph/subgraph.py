@@ -45,6 +45,14 @@ def topo_layers(
         ).localCheckpoint(eager=True)
         if remaining_nodes.isEmpty():
             break
+    else:
+        # iteration cap reached while still making progress: the graph is
+        # DEEPER than max_iterations, not cyclic — refuse to misreport
+        if not remaining_nodes.isEmpty():
+            raise ValueError(
+                f"topo_layers exceeded max_iterations={max_iterations} while still "
+                "peeling zero-in-degree nodes; raise max_iterations for this depth"
+            )
     return layers, remaining_nodes
 
 

@@ -133,7 +133,6 @@ def dfs(
     # distributed pruning: DFS can only visit nodes within max_depth hops
     ball = bfs(edges, start, max_depth, direction, relation, min_weight,
                created_after, max_visited=max_visited * 4)
-    ball_ids = ball.select("node_id")
     e = edges
     if relation is not None:
         rels = [relation] if isinstance(relation, str) else list(relation)
@@ -142,18 +141,48 @@ def dfs(
         e = e.filter(F.col("weight") >= min_weight)
     if created_after is not None:
         e = e.filter(F.col("created_at") > F.lit(created_after))
-    induced = (
-        e.join(ball_ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
-        .join(ball_ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
-        .select("src", "dst", "edge_id", "created_at")
-        .orderBy("created_at", "edge_id")
-        .collect()
-    )
+
     out_adj: dict[str, list[str]] = {}
     in_adj: dict[str, list[str]] = {}
-    for r in induced:  # already in (created_at, edge_id) order
-        out_adj.setdefault(r["src"], []).append(r["dst"])
-        in_adj.setdefault(r["dst"], []).append(r["src"])
+    ball_rows = ball.count()
+    ball_truncated = ball_rows >= max_visited * 4
+    if not ball_truncated:
+        # the ball is complete within max_depth, so the induced subgraph
+        # holds every edge the replay can touch — one collect
+        ball_ids = ball.select("node_id")
+        induced = (
+            e.join(ball_ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+            .join(ball_ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+            .select("src", "dst", "edge_id", "created_at")
+            .orderBy("created_at", "edge_id")
+            .collect()
+        )
+        for r in induced:  # already in (created_at, edge_id) order
+            out_adj.setdefault(r["src"], []).append(r["dst"])
+            in_adj.setdefault(r["dst"], []).append(r["src"])
+        fetched: set[str] | None = None  # adjacency fully known
+    else:
+        # BFS budget hit before covering the ball: the induced subgraph is
+        # NOT a superset of the reference DFS's reach (a deep chain behind
+        # the first neighbor could be missing while 40k siblings fill the
+        # budget). Fall back to lazy batched adjacency fetches during the
+        # replay — slower, but the visit set/order stay reference-exact.
+        fetched = set()
+
+    def fetch_adjacency(need: list[str]) -> None:
+        rows = (
+            e.filter(F.col("src").isin(need) | F.col("dst").isin(need))
+            .select("src", "dst", "edge_id", "created_at")
+            .orderBy("created_at", "edge_id")
+            .collect()
+        )
+        need_set = set(need)
+        for r in rows:
+            if r["src"] in need_set:
+                out_adj.setdefault(r["src"], []).append(r["dst"])
+            if r["dst"] in need_set:
+                in_adj.setdefault(r["dst"], []).append(r["src"])
+        fetched.update(need_set)
 
     visited: set[str] = set()
     stack: list[tuple[str, int]] = []
@@ -179,6 +208,11 @@ def dfs(
                 break
         if depth >= max_depth:
             continue
+        if fetched is not None and cur not in fetched:
+            # lazy mode: batch the current node with the nearest unfetched
+            # stack entries so one Spark round serves many expansions
+            batch = [cur] + [n for n, _ in stack[-64:] if n not in fetched and n != cur]
+            fetch_adjacency(list(dict.fromkeys(batch)))
         nbrs: list[str] = []
         if direction in ("out", "both"):
             nbrs += out_adj.get(cur, [])

@@ -379,14 +379,24 @@ def _field_column(f: Field) -> Column:
         }
         return ops[f.op]
     if f.name == "created_after":
-        return F.col("created_at") > F.lit(f.value.replace(tzinfo=None))
+        return F.col("created_at") > F.lit(_to_naive_utc(f.value))
     if f.name == "created_before":
-        return F.col("created_at") < F.lit(f.value.replace(tzinfo=None))
+        return F.col("created_at") < F.lit(_to_naive_utc(f.value))
     if f.name == "deleted":
         return F.col("deleted") == bool(f.value)
     if f.name == "limit":
         return F.lit(True)  # limit handled by apply_query
     raise CompileError(f"Unknown field {f.name}")
+
+
+def _to_naive_utc(dt):
+    """Aware datetimes convert to UTC before dropping tzinfo (created_at is
+    stored in UTC); naive values pass through unchanged."""
+    from datetime import timezone as _tz
+
+    if dt.tzinfo is not None:
+        return dt.astimezone(_tz.utc).replace(tzinfo=None)
+    return dt
 
 
 def compile_column(ast) -> Column:
@@ -405,10 +415,24 @@ def _extract_limit(ast) -> int | None:
     if isinstance(ast, Field):
         return int(ast.value) if ast.name == "limit" else None
     if isinstance(ast, (And, Or)):
-        return _extract_limit(ast.left) or _extract_limit(ast.right)
+        left = _extract_limit(ast.left)
+        return left if left is not None else _extract_limit(ast.right)
     if isinstance(ast, Not):
         return _extract_limit(ast.inner)
     return None
+
+
+def _mentions_deleted(ast) -> bool:
+    """True iff the query filters on the `deleted` FIELD — an AST check,
+    not a substring test ('tags:deleted' must not disable the default
+    tombstone exclusion)."""
+    if isinstance(ast, Field):
+        return ast.name == "deleted"
+    if isinstance(ast, (And, Or)):
+        return _mentions_deleted(ast.left) or _mentions_deleted(ast.right)
+    if isinstance(ast, Not):
+        return _mentions_deleted(ast.inner)
+    return False
 
 
 def apply_node_filter(nodes: DataFrame, nf: NodeFilter, offset: int | None = None) -> DataFrame:
@@ -427,9 +451,9 @@ def apply_node_filter(nodes: DataFrame, nf: NodeFilter, offset: int | None = Non
     if nf.source_agent:
         df = df.filter(F.col("source_agent") == nf.source_agent)
     if nf.created_after:
-        df = df.filter(F.col("created_at") > F.lit(nf.created_after.replace(tzinfo=None)))
+        df = df.filter(F.col("created_at") > F.lit(_to_naive_utc(nf.created_after)))
     if nf.created_before:
-        df = df.filter(F.col("created_at") < F.lit(nf.created_before.replace(tzinfo=None)))
+        df = df.filter(F.col("created_at") < F.lit(_to_naive_utc(nf.created_before)))
     if nf.min_importance is not None:
         df = df.filter(F.col("importance") >= nf.min_importance)
     if nf.deleted_only:
@@ -454,11 +478,10 @@ def query(nodes: DataFrame, dsl: str, now: datetime | None = None, spark_native:
     ast = parse(dsl, now=now)
     if spark_native:
         limit = _extract_limit(ast)
-        df = nodes.filter(compile_column(ast)).orderBy(F.desc("created_at"), F.asc("node_id"))
-        # default: exclude deleted unless the query mentions 'deleted'
-        if "deleted" not in dsl:
-            df = nodes.filter(compile_column(ast) & ~F.coalesce(F.col("deleted"), F.lit(False))).orderBy(
-                F.desc("created_at"), F.asc("node_id")
-            )
-        return df.limit(limit) if limit else df
+        cond = compile_column(ast)
+        # default: exclude deleted unless the query filters the deleted FIELD
+        if not _mentions_deleted(ast):
+            cond = cond & ~F.coalesce(F.col("deleted"), F.lit(False))
+        df = nodes.filter(cond).orderBy(F.desc("created_at"), F.asc("node_id"))
+        return df.limit(limit) if limit is not None else df
     return apply_node_filter(nodes, compile_filter(ast))

@@ -66,12 +66,25 @@ def stream_autolink(
         ).localCheckpoint(eager=True)
         if nodes_b.isEmpty():
             return
+        # cross-batch dedup (the same title+session invariant the in-batch
+        # dropDuplicates enforces, ARCHITECTURE.md:188): a replayed or
+        # re-delivered event must not append a second row under the same
+        # node_id — the parquet sink is append-only
+        if os.path.isdir(nodes_dir):
+            prior_ids = spark.read.parquet(nodes_dir).select("node_id")
+            nodes_b = nodes_b.join(prior_ids, "node_id", "left_anti").localCheckpoint(eager=True)
+            if nodes_b.isEmpty():
+                return
         nodes_b.write.mode("append").parquet(nodes_dir)
 
         all_nodes = spark.read.parquet(nodes_dir)
-        try:
+        # first-run detection by path existence, not a bare except: a
+        # transient read failure must propagate (Structured Streaming
+        # retries the batch) rather than masquerade as "no existing edges"
+        # and duplicate every qualifying link (see streaming/windows.py)
+        if os.path.isdir(edges_dir):
             existing = spark.read.parquet(edges_dir)
-        except Exception:
+        else:
             existing = spark.createDataFrame([], EDGES)
         # cycle clock = newest event in the batch (deterministic, replayable)
         now = nodes_b.agg(F.max("created_at")).first()[0]

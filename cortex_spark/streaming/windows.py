@@ -128,6 +128,13 @@ def stream_agent_state(spark: SparkSession, source_dir: str, out_dir: str):
         fresh = batch_df.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return
+        # crash-window recovery: a previous attempt may have renamed the
+        # live dir away (stats_dir_old) without publishing its replacement —
+        # restore it before the first-run check below can misread the gap
+        # as a fresh store
+        old_dir = stats_dir + "_old"
+        if not os.path.isdir(stats_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, stats_dir)
         # First-run detection by path existence, NOT a bare except: a
         # transient read failure must propagate (batch retries) rather
         # than silently overwrite the store with only this batch's agents.
@@ -145,7 +152,6 @@ def stream_agent_state(spark: SparkSession, source_dir: str, out_dir: str):
         # to prevent)
         tmp = stats_dir + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        old_dir = stats_dir + "_old"
         shutil.rmtree(old_dir, ignore_errors=True)
         if os.path.isdir(stats_dir):
             os.rename(stats_dir, old_dir)
