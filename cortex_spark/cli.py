@@ -119,6 +119,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("query")
     p.add_argument("-k", "--limit", type=int, default=10, dest="k")
     p.add_argument("--hybrid", action="store_true")
+    p.add_argument("--no-index", action="store_true",
+                   help="force the exact full-scan path even when the store has an LSH index")
     p = sub.add_parser("neighbors")
     p.add_argument("node_id")
     p.add_argument("--direction", default="both", choices=["out", "in", "both"])
@@ -374,11 +376,26 @@ def main(argv: list[str] | None = None) -> int:
         if emb is None:
             return _die("store has no embedded nodes; run the pipeline with embeddings first")
         dim = len(emb[0])
+        # serve from the store's persisted LSH signature index when one
+        # exists (the incremental linker maintains it) — on large corpora
+        # this replaces the per-query full-corpus scan with a bucket probe
+        index = None
+        if not args.no_index:
+            import os as _os
+
+            idx_path = _os.path.join(args.store, "lsh_index")
+            if _os.path.exists(_os.path.join(idx_path, "_index_meta.json")):
+                from cortex_spark.linker.index import LshIndexStore
+
+                try:
+                    index = LshIndexStore.open(idx_path, spark)
+                except ValueError:
+                    index = None  # pre-params index layout: fall back to scan
         if args.hybrid:
-            hits = hybrid_search(nodes, edges, args.query, limit=args.k, embed_dim=dim)
+            hits = hybrid_search(nodes, edges, args.query, limit=args.k, embed_dim=dim, index=index)
             score_col = "combined_score"
         else:
-            hits = vector_search(nodes, args.query, k=args.k, embed_dim=dim)
+            hits = vector_search(nodes, args.query, k=args.k, embed_dim=dim, index=index)
             score_col = "vector_score"
         print(json.dumps([
             {"node_id": r["node_id"], "kind": r["kind"], "title": r["title"],

@@ -107,6 +107,7 @@ def fit_ivf_centroids(
     sample_cap: int = 2048,
     iters: int = 8,
     seed: int = 7,
+    n_rows: int | None = None,
 ):
     """Spherical k-means on a deterministic hash-thresholded sample
     (driver-side Lloyd iterations — the coarse quantizer is always
@@ -117,8 +118,12 @@ def fit_ivf_centroids(
     ~2×sample_cap rows (id-deterministic, partition-layout-independent),
     and only that small survivor set goes through TakeOrderedAndProject.
     The old orderBy-then-limit kept a sample_cap heap per partition and
-    merged num_partitions×cap rows on the driver — a real job at 100 TB."""
-    n = corpus.count()  # metadata-backed count: no shuffle, no sort
+    merged num_partitions×cap rows on the driver — a real job at 100 TB.
+
+    Pass `n_rows` (the same contract as candidate_topk) to skip the count
+    job entirely — the count only sizes the pmod modulus, so an estimate
+    within ~2× is fine; without it one metadata-backed count runs."""
+    n = n_rows if n_rows is not None else corpus.count()  # metadata-backed: no shuffle
     sample = _ivf_sample(corpus, vec_col, corpus_id, sample_cap, seed, n).collect()
     X = np.array([r["v"] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -168,13 +173,14 @@ def ann_topk_ivf(
     nprobe: int = 4,
     seed: int = 7,
     centroids=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF top-k: corpus vectors live in their top-1 centroid cell, each
     query probes its `nprobe` nearest cells, exact cosine rescore + window
     rank inside the probed lists only. Pass precomputed `centroids` to
     reuse a fitted quantizer (the persisted-index pattern)."""
     C = centroids if centroids is not None else fit_ivf_centroids(
-        corpus, vec_col, corpus_id, n_centroids, seed=seed
+        corpus, vec_col, corpus_id, n_centroids, seed=seed, n_rows=n_rows
     )
     # null-embedding rows are dropped on BOTH sides (the same contract as
     # the linker paths); _cell_udf would otherwise fail the whole stage on a
@@ -218,8 +224,9 @@ class IvfIndexStore:
         vec_col: str = "embedding",
         n_centroids: int = 16,
         seed: int = 7,
+        n_rows: int | None = None,
     ) -> None:
-        C = fit_ivf_centroids(corpus, vec_col, corpus_id, n_centroids, seed=seed)
+        C = fit_ivf_centroids(corpus, vec_col, corpus_id, n_centroids, seed=seed, n_rows=n_rows)
         rows = [(int(i), [float(x) for x in row]) for i, row in enumerate(C)]
         self.spark.createDataFrame(rows, "cell int, centroid array<float>").coalesce(1).write.mode(
             "overwrite"

@@ -26,6 +26,17 @@ from cortex_spark.graph.traverse import bfs
 DEFAULT_VECTOR_WEIGHT = 0.7  # hybrid.rs:34-45
 DEFAULT_MAX_ANCHOR_DEPTH = 3
 
+# Interactive-search path selection (the same auto-switch pattern as
+# gate.LSH_ABOVE_INCOMING): while the live corpus is below this, one exact
+# scan + TakeOrdered is cheaper than an index probe; above it, each query
+# routes through the persisted LSH signature index so query cost tracks the
+# probed buckets, not the corpus (the reference serves EVERY search through
+# HNSW, vector/index.rs:325-373 — full scans per query don't survive 100 TB).
+INDEX_ABOVE_CORPUS = 10_000
+# Index probes over-fetch so post-probe filters (kind/agent/exclude/deleted)
+# still leave k survivors — the reference's 3× hybrid over-fetch, widened.
+INDEX_OVERFETCH = 5
+
 
 def vector_search(
     nodes: DataFrame,
@@ -36,23 +47,71 @@ def vector_search(
     kinds: list[str] | None = None,
     exclude_ids: list[str] | None = None,
     source_agent: str | None = None,
+    index=None,
+    use_index: bool | None = None,
 ) -> DataFrame:
-    """Brute-force top-k cosine for one query vector (VectorFilter F4 applied
-    pre-score). The query vector is a literal array — no shuffle, one scan +
-    TakeOrdered."""
-    qvec = F.array(*[F.lit(float(x)) for x in encode_py(query_text, embed_dim, embed_seed)])
+    """Top-k cosine for one query vector (VectorFilter F4 applied pre-score).
+
+    Without an index (or below INDEX_ABOVE_CORPUS live rows): brute-force —
+    the query vector is a literal array, no shuffle, one scan + TakeOrdered.
+    With `index` (an LshIndexStore) on a large corpus: probe the persisted
+    signature index — the scan partition-prunes to the query's buckets."""
     df = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
+    if index is not None and use_index is None:
+        use_index = df.limit(INDEX_ABOVE_CORPUS + 1).count() > INDEX_ABOVE_CORPUS
+    if index is not None and use_index:
+        return _vector_search_indexed(
+            df, index, query_text, k, embed_dim, embed_seed, kinds, exclude_ids, source_agent
+        )
     if kinds:
         df = df.filter(F.col("kind").isin(kinds))
     if exclude_ids:
         df = df.filter(~F.col("node_id").isin(exclude_ids))
     if source_agent:
         df = df.filter(F.col("source_agent") == source_agent)
+    qvec = F.array(*[F.lit(float(x)) for x in encode_py(query_text, embed_dim, embed_seed)])
     return (
         df.withColumn("vector_score", cosine_col(F.col("embedding"), qvec))
         .orderBy(F.desc("vector_score"), F.asc("node_id"))
         .limit(k)
     )
+
+
+def _vector_search_indexed(
+    live: DataFrame,
+    index,
+    query_text: str,
+    k: int,
+    embed_dim: int,
+    embed_seed: int,
+    kinds: list[str] | None,
+    exclude_ids: list[str] | None,
+    source_agent: str | None,
+) -> DataFrame:
+    """Index-served search: one single-row query frame probes the persisted
+    LSH signature index (partition-pruned to the query's buckets), the
+    over-fetched candidates join back to live node attrs for filtering, and
+    the final rank re-uses the probe's exact cosine scores. Tombstoned /
+    stale index entries drop at the live-join (HNSW-stale semantics)."""
+    spark = live.sparkSession
+    qvec = [float(x) for x in encode_py(query_text, embed_dim, embed_seed)]
+    qdf = spark.createDataFrame(
+        [("__query__", qvec)], "node_id string, embedding array<float>"
+    )
+    fetch_k = k * INDEX_OVERFETCH + len(exclude_ids or ())
+    hits = index.probe(qdf, k=fetch_k).select(
+        F.col("b_id").alias("node_id"), F.col("score").alias("vector_score")
+    )
+    out = hits.join(live, "node_id")  # inner: only live nodes survive
+    if kinds:
+        out = out.filter(F.col("kind").isin(kinds))
+    if exclude_ids:
+        out = out.filter(~F.col("node_id").isin(exclude_ids))
+    if source_agent:
+        out = out.filter(F.col("source_agent") == source_agent)
+    # column order matches the brute path: nodes.* then vector_score
+    out = out.select(*live.columns, "vector_score")
+    return out.orderBy(F.desc("vector_score"), F.asc("node_id")).limit(k)
 
 
 def search_threshold(nodes: DataFrame, query_text: str, threshold: float, embed_dim: int = 384, embed_seed: int = 42) -> DataFrame:
@@ -78,9 +137,17 @@ def hybrid_search(
     now: datetime | None = None,
     embed_dim: int = 384,
     embed_seed: int = 42,
+    index=None,
+    use_index: bool | None = None,
 ) -> DataFrame:
-    """Returns (node_id, kind, title, vector_score, graph_score, combined_score)."""
-    cands = vector_search(nodes, query_text, k=limit * 3, embed_dim=embed_dim, embed_seed=embed_seed)
+    """Returns (node_id, kind, title, vector_score, graph_score, combined_score).
+
+    `index`/`use_index` route the vector-candidate stage through the
+    persisted LSH signature index on large corpora (see vector_search)."""
+    cands = vector_search(
+        nodes, query_text, k=limit * 3, embed_dim=embed_dim, embed_seed=embed_seed,
+        index=index, use_index=use_index,
+    )
     if not anchors:
         out = cands.withColumn("graph_score", F.lit(0.0)).withColumn(
             "combined_score", F.col("vector_score")

@@ -36,6 +36,13 @@ from pyspark.sql import functions as F
 from cortex_spark.functions.similarity import cosine_col
 from cortex_spark.linker.lsh import add_lsh_bands
 
+# Signature rows are written partitionBy("bucket") with
+# bucket = pmod(xxhash64(sig), N_BUCKET_PARTS): a probe collects its (≤
+# N_BUCKET_PARTS) distinct bucket values driver-side and filters the scan,
+# so Spark partition-prunes the index read to the probed buckets — the scan
+# cost tracks the query's signature footprint, not the index size.
+N_BUCKET_PARTS = 64
+
 
 class LshIndexStore:
     """Append-only signature index under `<path>/data` + a JSON meta file."""
@@ -57,6 +64,22 @@ class LshIndexStore:
         self.seed = seed
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_index_meta.json")
+
+    @classmethod
+    def open(cls, path: str, spark: SparkSession) -> "LshIndexStore":
+        """Re-open an existing index from its persisted meta (dim + LSH
+        params travel with the index so any consumer — CLI search, a later
+        cycle — probes with the exact signature scheme it was built with)."""
+        meta_path = os.path.join(path, "_index_meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        params = meta.get("params")
+        if params is None:
+            raise ValueError(f"index at {path} has no persisted params; pass them explicitly")
+        return cls(
+            path, spark, dim=params["dim"], n_planes=params["n_planes"],
+            bands=params["bands"], seed=params["seed"],
+        )
 
     # -- bookkeeping ---------------------------------------------------------
 
@@ -91,11 +114,18 @@ class LshIndexStore:
         fresh = fresh.localCheckpoint(eager=True)
         meta = self.meta()
         seq = len(meta.get("appends", []))
-        sigs = self._sigs(fresh, id_col, vec_col).withColumn("append_seq", F.lit(seq))
-        sigs.write.mode("append").parquet(self.data_dir)
+        sigs = (
+            self._sigs(fresh, id_col, vec_col)
+            .withColumn("append_seq", F.lit(seq))
+            .withColumn("bucket", F.pmod(F.xxhash64("sig"), F.lit(N_BUCKET_PARTS)))
+        )
+        sigs.write.mode("append").partitionBy("bucket").parquet(self.data_dir)
         n = int(fresh.count())
         meta["rows_indexed"] = meta.get("rows_indexed", 0) + n
         meta["appends"] = meta.get("appends", []) + [n]
+        meta["params"] = {
+            "dim": self.dim, "n_planes": self.n_planes, "bands": self.bands, "seed": self.seed,
+        }
         self._write_meta(meta)
         return n
 
@@ -124,12 +154,23 @@ class LshIndexStore:
         idx = self.spark.read.parquet(self.data_dir)
         if "append_seq" not in idx.columns:  # pre-versioning index layout
             idx = idx.withColumn("append_seq", F.lit(0))
+        q = self._sigs(queries, id_col, vec_col).select(
+            F.col("node_id").alias("a_id"), F.col("vec").alias("a_vec"), "sig"
+        )
+        if "bucket" in idx.columns:
+            # partition pruning: collect the probe's ≤ N_BUCKET_PARTS distinct
+            # bucket values (a tiny query-side job) and filter the scan — the
+            # index read touches only the probed bucket partitions
+            bvals = [
+                r["b"]
+                for r in q.select(
+                    F.pmod(F.xxhash64("sig"), F.lit(N_BUCKET_PARTS)).alias("b")
+                ).distinct().collect()
+            ]
+            idx = idx.filter(F.col("bucket").isin(bvals))
         idx = idx.select(
             F.col("node_id").alias("b_id"), F.col("vec").alias("b_vec"), "sig",
             F.col("append_seq").alias("b_seq"),
-        )
-        q = self._sigs(queries, id_col, vec_col).select(
-            F.col("node_id").alias("a_id"), F.col("vec").alias("a_vec"), "sig"
         )
         # touch only probed buckets; cap each at max_bucket, newest versions
         # and lowest ids first (deterministic truncation)
@@ -168,11 +209,13 @@ class LshIndexStore:
             return idx.count()
         latest = idx.groupBy("node_id").agg(F.max("append_seq").alias("append_seq"))
         kept = idx.join(latest, ["node_id", "append_seq"])
+        if "bucket" not in kept.columns:  # migrate pre-bucketing layouts
+            kept = kept.withColumn("bucket", F.pmod(F.xxhash64("sig"), F.lit(N_BUCKET_PARTS)))
         tmp = self.data_dir + "_compact"
-        kept.write.mode("overwrite").parquet(tmp)
+        kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         out = self.spark.read.parquet(tmp)
         n = out.count()
-        out.write.mode("overwrite").parquet(self.data_dir)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,15 @@ DEFAULT_BANDS = 20
 DEFAULT_SEED = 7
 DEFAULT_MAX_BUCKET = 2000
 
+# Above this row count candidate_topk's 64-bit hash surrogates leave the
+# birthday-safe regime (expected colliding pairs ≈ n²/2^65 ≈ 0.07 at 5·10⁷)
+# and the auto strategy switches to a collision-free dense id mapping.
+DENSE_IDS_ABOVE = 50_000_000
+# Below this the final surrogate→string map-back joins are broadcast; above,
+# a broadcast of the full id map would blow the driver — let AQE pick the
+# join strategy for the shuffle join instead.
+IDMAP_BROADCAST_MAX = 10_000_000
+
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     h = hashlib.blake2b(f"lsh:{dim}:{n_planes}:{seed}".encode(), digest_size=8).digest()
@@ -148,6 +157,8 @@ def candidate_topk(
     dim: int | None = None,
     target_bucket: int = 500,
     n_rows: int | None = None,
+    id_strategy: str = "auto",
+    _hash_fn=None,
 ) -> DataFrame:
     """Per-node top-k neighbors via bucketed GEMM — the scale path for the
     ANN candidate join (J1) and the distributed analogue of per-node HNSW
@@ -167,34 +178,62 @@ def candidate_topk(
     if dim is None:
         first = nodes.select(F.size(vec_col).alias("d")).filter("d is not null").first()
         dim = int(first["d"]) if first else 384
+    n = n_rows
     if n_planes is None:
         # adaptive band width: rows/band grows with corpus size so the mean
         # bucket stays ~target_bucket rows (GEMM-sized); recall per band
         # falls but 20 bands keep union recall high for rule-grade pairs.
         # callers that already know the row count pass n_rows to skip a job
-        n = n_rows if n_rows is not None else nodes.count()
+        if n is None:
+            n = nodes.count()
         rows = min(10, max(3, int(np.ceil(np.log2(max(n / target_bucket, 1.0)) )) ))
         n_planes = rows * bands
 
-    # Work on 64-bit surrogate ids (xxhash64 of the string id): neighbor lists
-    # ride Arrow as array<long>/array<double> built straight from numpy —
-    # ~100× cheaper per element than array<struct> of python dicts. The
-    # string ids are joined back at the end. (Surrogate collisions are
-    # birthday-bounded: negligible below ~10^8 nodes; swap in a dense
-    # zip-with-index mapping for larger corpora.)
-    id_map = nodes.select(
-        F.col(id_col).alias("sid"), F.xxhash64(F.col(id_col)).alias("nid")
-    ).localCheckpoint(eager=False)
-
-    with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
-    sigs = (
-        with_sigs.select(
-            F.xxhash64(F.col(id_col)).alias("nid"),
+    # Work on 64-bit surrogate ids so neighbor lists ride Arrow as
+    # array<long>/array<double> built straight from numpy — ~100× cheaper per
+    # element than array<struct> of python dicts; string ids join back at the
+    # end. Two surrogate strategies, auto-selected on corpus size:
+    #   hash  — nid = xxhash64(string id): zero extra jobs in the hot path,
+    #           birthday-safe below DENSE_IDS_ABOVE rows. A one-pass ids-only
+    #           collision check (countDistinct sid vs nid) guards the bound;
+    #           any collision falls back to dense.
+    #   dense — nid = monotonically_increasing_id() pinned by an eager
+    #           localCheckpoint: unique per row BY CONSTRUCTION at any corpus
+    #           size (the 10¹²-doc regime where every 64-bit hash collides).
+    # `_hash_fn` is a test seam for forcing surrogate collisions.
+    if id_strategy == "auto":
+        id_strategy = "dense" if (n is not None and n > DENSE_IDS_ABOVE) else "hash"
+    if id_strategy == "hash":
+        hash_fn = _hash_fn or F.xxhash64
+        id_map = nodes.select(
+            F.col(id_col).alias("sid"), hash_fn(F.col(id_col)).alias("nid")
+        ).localCheckpoint(eager=False)
+        chk = id_map.agg(
+            F.countDistinct("sid").alias("n_sid"), F.countDistinct("nid").alias("n_nid")
+        ).first()
+        if n is None:
+            n = chk["n_sid"]
+        if chk["n_nid"] < chk["n_sid"] or n > DENSE_IDS_ABOVE:
+            id_strategy = "dense"  # collided (or past the birthday bound)
+    if id_strategy == "dense":
+        base = (
+            nodes.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
+            .withColumn("nid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)  # pins the ids: both consumers below
+        )                                 # read the SAME materialized rows
+        id_map = base.select("sid", "nid")
+        if n is None:
+            n = base.count()  # cheap: counts the checkpointed blocks
+        with_sigs = add_lsh_bands(base, "vec", dim, n_planes, bands, seed)
+        sigs = with_sigs.select("nid", "vec", F.explode("lsh_sigs").alias("sig"))
+    else:
+        with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
+        sigs = with_sigs.select(
+            hash_fn(F.col(id_col)).alias("nid"),
             F.col(vec_col).alias("vec"),
             F.explode("lsh_sigs").alias("sig"),
         )
-        .filter(F.col("sig").isNotNull())
-    )
+    sigs = sigs.filter(F.col("sig").isNotNull())
 
     def bucket_topk_partition(batches) -> "Iterator[pa.RecordBatch]":
         """One GEMM per bucket; emits ONE packed row per node (parallel
@@ -362,9 +401,12 @@ def candidate_topk(
     )
     a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))
     b_map = id_map.select(F.col("nid").alias("b_id"), F.col("sid").alias("b_sid"))
+    # map-back joins: broadcast only while the id map actually fits the
+    # driver; past IDMAP_BROADCAST_MAX rows let AQE plan the shuffle join
+    maybe_b = F.broadcast if n <= IDMAP_BROADCAST_MAX else (lambda df: df)
     return (
-        merged.join(F.broadcast(a_map), "a_id")
-        .join(F.broadcast(b_map), "b_id")
+        merged.join(maybe_b(a_map), "a_id")
+        .join(maybe_b(b_map), "b_id")
         .select(F.col("a_sid").alias("a_id"), F.col("b_sid").alias("b_id"), "score")
     )
 

@@ -338,3 +338,89 @@ def test_hot_bucket_skew_guard(spark):
     # determinism: truncation is id-ordered, so reruns agree exactly
     got2 = {(r["a_id"], r["b_id"]) for r in candidate_pairs(df, max_bucket=cap).collect()}
     assert got2 == got
+
+
+def test_candidate_topk_dense_ids_match_hash_ids(spark):
+    """The dense (monotonically_increasing_id) surrogate strategy — the
+    collision-free path auto-selected above DENSE_IDS_ABOVE rows — must
+    produce the exact same (a_id, b_id, score) set as the default hash
+    surrogates on a collision-free corpus."""
+    import numpy as np
+
+    from cortex_spark.linker.lsh import candidate_topk
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        rows.append((f"n{i:03d}", [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "node_id string, embedding array<float>")
+
+    hash_out = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in candidate_topk(df, k=5, id_strategy="hash").collect()
+    }
+    dense_out = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in candidate_topk(df, k=5, id_strategy="dense").collect()
+    }
+    assert len(hash_out) > 100
+    assert set(dense_out) == set(hash_out)
+    # scores agree to float32 GEMM tolerance (BLAS accumulation order shifts
+    # with within-bucket row order, which the surrogate sort key changes)
+    assert all(abs(dense_out[p] - hash_out[p]) < 1e-5 for p in hash_out)
+
+
+def test_candidate_topk_survives_forced_hash_collisions(spark):
+    """Regression for the ~10⁸-node surrogate-id ceiling: inject a mock hash
+    that maps 120 node ids onto only 8 surrogate values (guaranteed
+    collisions — the 10¹²-doc regime in miniature). The collision check must
+    detect it and fall back to the dense mapping, producing edges identical
+    to an honest run instead of silently merging nodes' neighbor lists."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cortex_spark.linker.lsh import candidate_topk
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        rows.append((f"n{i:03d}", [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(rows, "node_id string, embedding array<float>")
+
+    honest = {
+        (r["a_id"], r["b_id"]): r["score"] for r in candidate_topk(df, k=5).collect()
+    }
+    colliding = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in candidate_topk(
+            df, k=5, _hash_fn=lambda c: F.pmod(F.xxhash64(c), F.lit(8))
+        ).collect()
+    }
+    assert set(colliding) == set(honest)
+    assert all(abs(colliding[p] - honest[p]) < 1e-5 for p in honest)
+
+
+def test_fit_ivf_centroids_skips_count_when_n_rows_given(spark, monkeypatch):
+    """With n_rows passed, the quantizer fit must launch NO count job (the
+    count only sizes the pmod sampling modulus). Patch DataFrame.count to
+    raise — the fit must still succeed, and match the counted fit exactly."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from cortex_spark.dataops.ann import fit_ivf_centroids
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (f"v{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    C_counted = fit_ivf_centroids(df, n_centroids=4, seed=7)
+
+    def _boom(self):
+        raise AssertionError("DataFrame.count() must not run when n_rows is passed")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    C = fit_ivf_centroids(df, n_centroids=4, seed=7, n_rows=400)
+    assert np.array_equal(C, C_counted)
