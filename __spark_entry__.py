@@ -770,6 +770,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-image path with NO optional dependency: deterministic
+    8-bit PNGs (gray for odd ids, RGB for even; per-row filters cycling
+    None/Sub/Up/Average/Paeth) decoded by the stdlib zlib+unfilter codec
+    (dataops/multimodal.py:_decode_png — PIL keeps priority when
+    importable and yields the identical raster) → channel-mean features.
+    Hash-checked against a golden from an INDEPENDENT scalar spec decoder
+    (scripts/make_png_golden.py)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        encode_png,
+    )
+
+    def build(batches):
+        # fixture construction stays executor-side (no driver collect)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"p{i}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "content": [encode_png(8, 8, 3 if i % 2 == 0 else 1, seed=i) for i in ids],
+                    "media_meta": [
+                        {"mime": "image/png", "width": 8, "height": 8, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = _embs(spark, sf_dir).filter("vec_id < 64").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    out = decode_and_featurize(media)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode (stdlib wave, dataops/multimodal.py:_decode_wav)
     over executor-built sine fixtures: n_samples = 4000 + (id mod 5)·400 at
@@ -1755,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "kg_triples": q_kg_triples,
         "multimodal_decode": q_multimodal_decode,
+        "png_features": q_png_features,
         "briefing": q_briefing,
         "streaming_counts": q_streaming_counts,
         # ── strongest oracle per family ──
@@ -2318,6 +2358,25 @@ def _multimodal_sql() -> str:
             "\n) AS t(media_id, width, height, channels, f0)")
 
 
+def _png_sql() -> str:
+    """Golden VALUES oracle for the stdlib PNG codec: fixture bytes
+    re-decoded by an INDEPENDENT scalar spec decoder
+    (scripts/make_png_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "png_features.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, {}, {})".format(m, w, h, c, f0)
+        for m, w, h, c, f0 in golden["rows"]
+    )
+    return ("SELECT media_id, width, height, channels, CAST(f0 AS DOUBLE) AS f0 "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, width, height, channels, f0)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2404,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": _kg_triples_sql(),
         "briefing": _briefing_sql(),
         "multimodal_decode": _multimodal_sql(),
+        "png_features": _png_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

@@ -129,6 +129,141 @@ def _parse_pnm(content: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, channels, raster.reshape(h, w, channels)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}  # color type → channels
+
+
+def encode_png(
+    width: int, height: int, channels: int = 3, seed: int = 0, filters: list[int] | None = None
+) -> bytes:
+    """Deterministic, spec-valid PNG bytes (8-bit gray/gray-alpha/RGB/RGBA)
+    for tests and goldens. `filters` picks the per-scanline filter type
+    (default cycles 0..4 so every unfilter branch gets exercised); the
+    payload raster is seed-derived so fixtures are reproducible."""
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, size=(height, width * channels), dtype=np.uint8)
+    bpp = channels
+    lines = []
+    for y in range(height):
+        ft = filters[y % len(filters)] if filters else y % 5
+        row = raw[y].astype(np.int16)
+        prior = raw[y - 1].astype(np.int16) if y else np.zeros_like(row)
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]]) if len(row) > bpp else np.zeros_like(row)
+        up_left = (
+            np.concatenate([np.zeros(bpp, np.int16), prior[:-bpp]]) if len(row) > bpp else np.zeros_like(row)
+        )
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prior
+        elif ft == 3:
+            enc = row - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, up_left))
+            enc = row - pred
+        lines.append(bytes([ft]) + (enc % 256).astype(np.uint8).tobytes())
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 9)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _decode_png(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib-only PNG decode (zlib inflate + per-scanline unfilter): 8-bit
+    non-interlaced gray / gray-alpha / RGB / RGBA / palette. The correctness
+    fallback when PIL is absent — PIL keeps priority in _decode_one when
+    importable. None/Sub/Up rows are vectorized (Sub is a per-channel
+    prefix sum mod 256); Average/Paeth are sequential by definition."""
+    import zlib
+
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = 0
+    idat, plte = [], None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG not supported (stdlib decoder)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported (stdlib decoder)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = width * ch
+    data = zlib.decompress(b"".join(idat))
+    if len(data) != height * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ft = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: prefix sum per channel offset, mod 256
+            rec = row.reshape(-1, ch).cumsum(axis=0).reshape(-1)
+        elif ft == 2:  # Up
+            rec = row + prior
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                # mod 256 per element: the predictor consumes RECONSTRUCTED
+                # bytes, so the wrap must happen before the next pixel reads
+                # this one (floor-average is not linear under mod)
+                if ft == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c_ = int(prior[x - ch]) if x >= ch else 0
+                    p = a + b - c_
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c_)
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec % 256
+    arr = out.reshape(height, width, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        arr = plte[arr[:, :, 0]]
+        ch = 3
+    return width, height, ch, arr
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
     if content[:8] == MAGIC:
         w, h, c = struct.unpack(">IIB", content[8:17])
@@ -147,6 +282,8 @@ def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
             arr = arr[:, :, None]
         h, w, c = arr.shape
         return w, h, c, arr
+    if content[:8] == PNG_SIG:  # stdlib fallback when PIL is absent
+        return _decode_png(content)
     raise NotImplementedError(
         "compressed image codecs need the optional PIL dependency (absent here)"
     )

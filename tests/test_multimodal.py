@@ -235,3 +235,107 @@ def test_mp4_real_decode_via_optional_seam(spark):
     df = _media_df(spark, [("m4", "video", buf.getvalue(), ("video/mp4", 64, 48, None, 400))])
     out = [r for r in decode_video_frames(df, every_ms=200).collect() if r["error"] is None]
     assert out and all(r["width"] == 64 and r["height"] == 48 for r in out)
+
+
+# ── stdlib PNG codec (no optional dependency) ──────────────────────────────
+
+
+def test_png_stdlib_roundtrip_all_filters_and_channels():
+    """encode_png → _decode_png reproduces the seed raster exactly for
+    gray/gray-alpha/RGB/RGBA and for every scanline filter type."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_png, encode_png
+
+    for ch in (1, 2, 3, 4):
+        for w, h, seed in ((8, 6, 0), (1, 1, 1), (2, 9, 2), (17, 5, 3)):
+            rng = np.random.default_rng(seed)
+            raw = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+            W, H, C, arr = _decode_png(encode_png(w, h, ch, seed=seed))
+            assert (W, H, C) == (w, h, ch)
+            assert np.array_equal(arr.reshape(h, w * ch), raw)
+    for ft in range(5):
+        rng = np.random.default_rng(10 + ft)
+        raw = rng.integers(0, 256, size=(7, 27), dtype=np.uint8)
+        _, _, _, arr = _decode_png(encode_png(9, 7, 3, seed=10 + ft, filters=[ft]))
+        assert np.array_equal(arr.reshape(7, 27), raw), f"filter {ft}"
+
+
+def test_png_stdlib_matches_independent_decoder():
+    """Engine decode vs scripts/make_png_golden.py's scalar spec decoder:
+    bit-identical rasters on the driver-fixture payloads."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from make_png_golden import decode_png_independent
+
+    from cortex_spark.dataops.multimodal import _decode_png, encode_png
+
+    for i in (0, 1, 7, 13):
+        content = encode_png(8, 8, 3 if i % 2 == 0 else 1, seed=i)
+        w1, h1, c1, a1 = _decode_png(content)
+        w2, h2, c2, rows = decode_png_independent(content)
+        assert (w1, h1, c1) == (w2, h2, c2)
+        assert np.array_equal(a1.reshape(-1), np.array(rows, dtype=np.uint8).reshape(-1))
+
+
+def test_png_palette_decode():
+    """Color type 3: indices expand through PLTE to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import PNG_SIG, _decode_png
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idat = zlib.compress(b"\x00\x00\x01" + b"\x00\x02\x00")  # rows: [0,1],[2,0]
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    w, h, c, arr = _decode_png(png)
+    assert (w, h, c) == (2, 2, 3)
+    assert np.array_equal(arr, np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8))
+
+
+def test_png_unsupported_variants_quarantine(spark):
+    """16-bit and interlaced PNGs raise through the quarantine path (error
+    column set, batch survives); truncated bytes become decode errors."""
+    import struct
+    import zlib
+
+    from cortex_spark.dataops.multimodal import PNG_SIG, encode_png
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    deep = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    laced = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    trunc = encode_png(8, 8, 3, seed=0)[:40]
+    df = _media_df(spark, [
+        ("deep", "image", deep, ("image/png", None, None, None, None)),
+        ("laced", "image", laced, ("image/png", None, None, None, None)),
+        ("trunc", "image", trunc, ("image/png", None, None, None, None)),
+        ("good", "image", encode_png(4, 4, 3, seed=5), ("image/png", None, None, None, None)),
+    ])
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    assert out["good"]["error"] is None and out["good"]["channels"] == 3
+    assert out["trunc"]["error"] is not None
+    if not has_pil:  # stdlib decoder: explicit unsupported-variant messages
+        assert "not supported" in out["deep"]["error"]
+        assert "not supported" in out["laced"]["error"]
