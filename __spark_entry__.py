@@ -1769,70 +1769,18 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
-    # 50 entries, so every operator family's strongest / least-redundant
-    # oracle sits in-window. The round-2 out-of-window flagships (cc,
-    # gate_full, retention, eviction, decay_shielded, topo_layers,
-    # dijkstra_costs, merge_semantics, briefing_rank, prompt_heads, simhash,
-    # hybrid_blend, score_decay, write_gate) now lead; the 16 entries past
-    # #50 are redundant slices of in-window families, each already
-    # driver-green in CORRECTNESS_r02.
+    # 50 entries, and the window ROTATES each round so no query's driver
+    # evidence goes more than ~one round stale. Round-4 window: the 16
+    # entries past round 3's window (all driver-green in CORRECTNESS_r02)
+    # rotate IN, plus the two new round-4 queries (streaming_counts,
+    # png_features); 18 round-3-green redundant slices rotate OUT (each
+    # displaced entry's family keeps a stronger in-window oracle — e.g.
+    # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
+    # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
+    # first_rule_wins→rule_cascade, node_filter→dsl_filter). Union of
+    # CORRECTNESS_r04 ∪ r03 covers all 68 queries.
     return {
-        # ── previously outside the driver's window ──
-        "cc": q_cc,
-        "gate_full": q_gate_full,
-        "write_gate": q_write_gate,
-        "topo_layers": q_topo_layers,
-        "dijkstra_costs": q_dijkstra_costs,
-        "score_decay": q_score_decay,
-        "retention": q_retention,
-        "eviction": q_eviction,
-        "decay_shielded": q_decay_shielded,
-        "merge_semantics": q_merge_semantics,
-        "briefing_rank": q_briefing_rank,
-        "prompt_heads": q_prompt_heads,
-        "hybrid_blend": q_hybrid_blend,
-        "simhash": q_simhash,
-        "kg_triples": q_kg_triples,
-        "multimodal_decode": q_multimodal_decode,
-        "png_features": q_png_features,
-        "briefing": q_briefing,
-        "streaming_counts": q_streaming_counts,
-        # ── strongest oracle per family ──
-        "extract_text": q_extract_text,
-        "classify": q_classify,
-        "node_filter": q_node_filter,
-        "kind_histogram": q_kind_histogram,
-        "text_profile": q_text_profile,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
-        "ngram_jaccard_window": q_ngram_jaccard_window,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "rule_cascade": q_rule_cascade,
-        "config_rules": q_config_rules,
-        "dedup_actions": q_dedup_actions,
-        "first_rule_wins": q_first_rule_wins,
-        "chunk_plain": q_chunk_plain,
-        "reinforce": q_reinforce,
-        "hybrid_full": q_hybrid_full,
-        "audio_features": q_audio_features,
-        "cursor_batch": q_cursor_batch,
-        "import_export": q_import_export,
-        "vocab_check": q_vocab_check,
-        "title_derive": q_title_derive,
-        "prompt_scoring": q_prompt_scoring,
-        "dfs_order": q_dfs_order,
-        "weighted_traverse": q_weighted_traverse,
-        "timetravel_bfs": q_timetravel_bfs,
-        "degree": q_degree,
-        "bfs_depths": q_bfs_depths,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3ish": q_tpch_q3ish,
-        "dsl_filter": q_dsl_filter,
-        # ── past the 50-query window: redundant slices, all green in
-        # CORRECTNESS_r02 ──
+        # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "decision_to_event": q_decision_to_event,
@@ -1849,6 +1797,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_merge": q_subgraph_merge,
         "decay": q_decay,
         "graph_roots_leaves": q_graph_roots_leaves,
+        # ── new this round ──
+        "streaming_counts": q_streaming_counts,
+        "png_features": q_png_features,
+        # ── kept in-window: flagship / strongest oracle per family ──
+        "cc": q_cc,
+        "gate_full": q_gate_full,
+        "topo_layers": q_topo_layers,
+        "dijkstra_costs": q_dijkstra_costs,
+        "retention": q_retention,
+        "eviction": q_eviction,
+        "decay_shielded": q_decay_shielded,
+        "merge_semantics": q_merge_semantics,
+        "briefing": q_briefing,
+        "prompt_heads": q_prompt_heads,
+        "hybrid_blend": q_hybrid_blend,
+        "simhash": q_simhash,
+        "kg_triples": q_kg_triples,
+        "multimodal_decode": q_multimodal_decode,
+        "extract_text": q_extract_text,
+        "classify": q_classify,
+        "kind_histogram": q_kind_histogram,
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "rule_cascade": q_rule_cascade,
+        "config_rules": q_config_rules,
+        "dedup_actions": q_dedup_actions,
+        "hybrid_full": q_hybrid_full,
+        "cursor_batch": q_cursor_batch,
+        "import_export": q_import_export,
+        "dfs_order": q_dfs_order,
+        "bfs_depths": q_bfs_depths,
+        "dsl_filter": q_dsl_filter,
+        # ── past the 50-query window: redundant slices, all driver-green
+        # in CORRECTNESS_r03 (≤1 round stale) ──
+        "write_gate": q_write_gate,
+        "score_decay": q_score_decay,
+        "briefing_rank": q_briefing_rank,
+        "chunk_plain": q_chunk_plain,
+        "reinforce": q_reinforce,
+        "ngram_jaccard_window": q_ngram_jaccard_window,
+        "ann_topk": q_ann_topk,
+        "first_rule_wins": q_first_rule_wins,
+        "prompt_scoring": q_prompt_scoring,
+        "timetravel_bfs": q_timetravel_bfs,
+        "weighted_traverse": q_weighted_traverse,
+        "degree": q_degree,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "title_derive": q_title_derive,
+        "vocab_check": q_vocab_check,
+        "audio_features": q_audio_features,
+        "node_filter": q_node_filter,
     }
 
 

@@ -81,25 +81,32 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     checkpoint_every: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Return (node_id, component) where component = min node id reachable.
 
     Input: any edge DataFrame with `src`/`dst` string columns. Isolated
     nodes (no edges) are not emitted — callers left-join and coalesce to
-    the node's own id.
+    the node's own id. Pass `stats={}` to get the converged round count
+    back in stats["rounds"] (scale evidence: rounds grow O(log² n), so a
+    super-linear blowup shows up here first).
     """
     spark = edges.sparkSession
     cur = _neighborhoods(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     cur = cur.localCheckpoint(eager=True)
     prev_sig = None
+    rounds = 0
     for i in range(max_iterations):
         cur = _small_star(_large_star(cur))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
+        rounds = i + 1
         sig = _signature(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged state: edges point each node at its component min
     comp = cur.groupBy("u").agg(F.min("v").alias("component"))
     comp = comp.select(F.col("u").alias("node_id"), "component")

@@ -69,3 +69,72 @@ def embed_input_col(kind: Column, title: Column, body: Column, tags: Column) -> 
         F.concat(F.lit("\ntags: "), F.array_join(tags, ", ")),
     ).otherwise(F.lit(""))
     return F.concat(head, F.lit("\n"), F.coalesce(body, F.lit("")), tag_line)
+
+
+# ── ONNX seam: the prod-parity encoder path ────────────────────────────────
+#
+# The reference serves embeddings from an ONNX bge-small session
+# (vector/embedding.rs:27-57). This seam runs any ONNX model with the
+# contract (input_ids int64 [batch, seq]) → (float32 [batch, dim]) through
+# the SAME Arrow-batched pandas UDF shape as the hashing encoder, with one
+# lazily-created InferenceSession per executor process (the standard
+# heavy-init pattern — never per row, never on the driver). Tokenization is
+# a seeded hashing tokenizer (no vocab download); a real BPE drops in by
+# replacing `tokenize_batch`. onnxruntime is optional: absent (as in this
+# container) the factory raises ImportError at CONSTRUCTION time on the
+# driver — callers keep the hashing encoder — and the skipif-marked parity
+# test (tests/test_embed_onnx.py) exercises the live path where it exists.
+
+_ONNX_SESSIONS: dict = {}  # model_path → InferenceSession, per process
+
+MAX_TOKENS = 64
+
+
+def tokenize_batch(
+    texts: "pd.Series", vocab_size: int, seed: int = DEFAULT_SEED, max_tokens: int = MAX_TOKENS
+) -> np.ndarray:
+    """Hashing tokenizer: token → blake2b bucket in [0, vocab), fixed-width
+    int64 [batch, max_tokens] with 0 = padding (bucket ids are 1-based)."""
+    out = np.zeros((len(texts), max_tokens), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").lower().split()[:max_tokens]
+        for j, tok in enumerate(toks):
+            slot, _ = _token_slot(tok, vocab_size - 1, seed)
+            out[i, j] = slot + 1
+    return out
+
+
+def _onnx_session(model_path: str):
+    sess = _ONNX_SESSIONS.get(model_path)
+    if sess is None:
+        import onnxruntime  # noqa: PLC0415 — executor-side lazy import
+
+        sess = onnxruntime.InferenceSession(model_path, providers=["CPUExecutionProvider"])
+        _ONNX_SESSIONS[model_path] = sess
+    return sess
+
+
+def encode_batch_onnx(
+    texts: pd.Series, model_path: str, vocab_size: int = 1024, seed: int = DEFAULT_SEED
+) -> pd.Series:
+    """ONNX forward pass over a hashed-token batch; L2-normalized float32
+    rows, same output contract as encode_batch."""
+    sess = _onnx_session(model_path)
+    ids = tokenize_batch(texts, vocab_size, seed)
+    (out,) = sess.run(None, {sess.get_inputs()[0].name: ids})
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    out = np.where(norms > 0, out / np.maximum(norms, 1e-12), out).astype(np.float32)
+    return pd.Series([row.tolist() for row in out])
+
+
+def embed_udf_onnx(model_path: str, vocab_size: int = 1024, seed: int = DEFAULT_SEED):
+    """Factory returning an Arrow-batched pandas UDF text → array<float>
+    backed by an ONNX session. Fails fast on the driver if onnxruntime is
+    missing; executors each lazy-init their own session on first batch."""
+    import onnxruntime  # noqa: F401 — construction-time availability check
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(text: pd.Series) -> pd.Series:
+        return encode_batch_onnx(text, model_path, vocab_size, seed)
+
+    return _embed
