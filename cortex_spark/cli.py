@@ -2,9 +2,9 @@
 
 The reference ships `cortex` subcommands (cli/mod.rs Commands enum: node,
 edge, search, traverse, path, briefing, import, export, backup, restore,
-migrate, stats, doctor, config, audit, security, agent, prompt — plus the
-server-only serve/shell/init/mcp, which SURVEY S6 replaces with the batch
-driver contract). Batch analogue — each command reads/writes the
+migrate, stats, doctor, config, audit, security, agent, prompt, init,
+shell — plus the server-only serve/mcp, which SURVEY S6 replaces with the
+batch driver contract). Batch analogue — each command reads/writes the
 checkpoint-store parquet written by `cortex_spark.pipeline.run` and prints
 one JSON document:
 
@@ -22,6 +22,8 @@ one JSON document:
     python -m cortex_spark.cli --store /tmp/kg agent resolve <agent-name>
     python -m cortex_spark.cli config validate --config cortex.toml
     python -m cortex_spark.cli security generate-key
+    python -m cortex_spark.cli init --yes             # setup wizard (cli/init.rs)
+    python -m cortex_spark.cli --store /tmp/kg shell  # REPL (cli/shell.rs)
 
 Mutations (node create/delete, edge create, import) follow the batch-store
 model: creates APPEND a parquet partition; delete rewrites the node table
@@ -43,7 +45,7 @@ from datetime import datetime, timedelta
 _STORE_COMMANDS = {
     "stats", "search", "neighbors", "briefing", "doctor", "backup", "restore",
     "node", "edge", "traverse", "path", "export", "import", "audit",
-    "prompt", "agent", "migrate",
+    "prompt", "agent", "migrate", "shell",
 }
 
 SCHEMA_VERSION = 1
@@ -263,13 +265,168 @@ def build_parser() -> argparse.ArgumentParser:
     c = asub.add_parser("history")
     c.add_argument("name")
     c.add_argument("--limit", type=int, default=20)
+
+    # setup wizard + REPL (cli/init.rs, cli/shell.rs)
+    p = sub.add_parser("init", help="interactive setup wizard; writes cortex.toml")
+    p.add_argument("--output", default="cortex.toml", help="config file to write")
+    p.add_argument("--yes", action="store_true",
+                   help="accept every default without prompting (non-interactive)")
+    sub.add_parser("shell", help="interactive REPL over the store (same commands, no prefix)")
     return ap
+
+
+def _ask(prompt: str, default: str, yes: bool) -> str:
+    """One wizard question: prompt on stderr (stdout stays JSON-clean),
+    answer from stdin; empty line or EOF or --yes → default."""
+    if yes:
+        return default
+    sys.stderr.write(f"{prompt} [{default}]: ")
+    sys.stderr.flush()
+    line = sys.stdin.readline()
+    if not line:
+        return default
+    return line.strip() or default
+
+
+_INIT_MODELS = {
+    # cli/init.rs:16-24 model menu; dimensions consumed by config.load_config
+    "1": ("BAAI/bge-small-en-v1.5", 384),
+    "2": ("BAAI/bge-base-en-v1.5", 768),
+    "3": ("BAAI/bge-large-en-v1.5", 1024),
+}
+
+
+def _cmd_init(args) -> int:
+    """Setup wizard (cli/init.rs:7-131): ask, write cortex.toml, create the
+    data dir, validate by round-tripping through load_config."""
+    if not args.yes:
+        sys.stderr.write("\nWelcome to cortex_spark — batch graph memory on Spark.\n\n")
+    data_dir = _ask("Where should the pipeline store data?", "./data", args.yes)
+    model_choice = _ask(
+        "Embedding model? 1=bge-small (384d, fast)  2=bge-base (768d)  3=bge-large (1024d)",
+        "1", args.yes)
+    model, dims = _INIT_MODELS.get(model_choice.strip()[:1], _INIT_MODELS["1"])
+    autolinker = _ask("Enable auto-linker? (y/n)", "y", args.yes).lower().startswith("y")
+    interval = "60"
+    if autolinker:
+        raw_interval = _ask("Auto-linker interval (seconds)?", "60", args.yes)
+        interval = raw_interval if raw_interval.isdigit() else "60"  # init.rs unwrap_or(60)
+    ingest = _ask("Event ingest? (none/file/webhook/nats)", "none", args.yes).lower()
+    agents_raw = _ask("Pre-configure agent briefings (comma-separated ids)?", "default", args.yes)
+    agents = [a.strip() for a in agents_raw.split(",") if a.strip()]
+
+    toml_lines = [
+        "# generated by `cortex_spark.cli init`",
+        "[server]",
+        f"data_dir = {json.dumps(data_dir)}",
+        f"nats_enabled = {'true' if ingest == 'nats' else 'false'}",
+        "",
+        "[embedding]",
+        f"model = {json.dumps(model)}",
+        f"dimensions = {dims}",
+        "",
+        "[auto_linker]",
+        f"enabled = {'true' if autolinker else 'false'}",
+        f"interval_seconds = {interval}",
+        "",
+        "[briefing]",
+        f"precompute_agents = [{', '.join(json.dumps(a) for a in agents)}]",
+        "",
+        "[retention.by_kind]",
+        "observation = 90",  # init.rs:103-110 default observation TTL
+        "",
+    ]
+    with open(args.output, "w") as fh:
+        fh.write("\n".join(toml_lines))
+
+    from cortex_spark.config import load_config
+
+    try:
+        cfg = load_config(args.output)
+    except Exception as e:  # never leave an unloadable config behind
+        os.remove(args.output)
+        return _die(f"generated config failed validation: {e}")
+    os.makedirs(data_dir, exist_ok=True)
+    print(json.dumps({
+        "config": args.output, "data_dir": data_dir, "embed_dim": cfg.embed_dim,
+        "auto_linker": autolinker, "agents": agents, "valid": True,
+    }))
+    return 0
+
+
+_SHELL_HELP = """Available commands (same as the CLI, without the prefix):
+  stats | doctor | migrate
+  search <query> [-k N] [--hybrid]
+  node create|get|list|delete|stats ...
+  edge create|list ...
+  traverse <id> [--depth N]    path <from> <to>
+  neighbors <id> [--direction out|in|both]
+  briefing <agent> [--compact]
+  import <file> | export --output <dir> [--format json|jsonl|dot|graphml]
+  backup <dest> | restore <src>
+  audit [--since 24h] [--actor A]
+  prompt ... | agent ... | config validate|show
+  help | exit | quit"""
+
+
+def _cmd_shell(args) -> int:
+    """REPL (cli/shell.rs:6-78): read a line, split shell-style, re-parse
+    through the same argparse tree, dispatch. Each dispatched command goes
+    through main(), whose get_spark() is getOrCreate — one shared
+    SparkSession across the whole session, so only the first command pays
+    JVM startup (the reference holds one gRPC channel the same way)."""
+    import shlex
+
+    interactive = sys.stdin.isatty()
+    if interactive:
+        sys.stderr.write(f"\ncortex_spark shell — store {args.store}\n"
+                         "Type 'help' for commands, 'exit' to quit.\n\n")
+    while True:
+        if interactive:
+            sys.stderr.write("cortex> ")
+            sys.stderr.flush()
+        line = sys.stdin.readline()
+        if not line:  # EOF (^D / end of piped script)
+            break
+        line = line.strip()
+        if not line:
+            continue
+        if line in ("exit", "quit"):
+            break
+        if line == "help":
+            print(_SHELL_HELP)
+            continue
+        try:
+            words = shlex.split(line)
+        except ValueError as e:
+            print(json.dumps({"error": f"parse error: {e}"}), file=sys.stderr)
+            continue
+        if words[0] == "shell":
+            print("Already in shell mode.")  # shell.rs:52-55
+            continue
+        if words[0] == "init":
+            print("Run `init` outside the shell.")
+            continue
+        argv = ["--store", args.store, "--cpus", str(args.cpus)]
+        if args.config:
+            argv += ["--config", args.config]
+        argv += words
+        try:
+            main(argv)  # rc intentionally ignored: errors print, loop continues
+        except SystemExit:
+            pass  # argparse already printed usage to stderr (shell.rs:58-61)
+        except Exception as e:  # a failed command must not kill the REPL
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     # --- no-Spark commands first ---
+    if args.cmd == "init":
+        return _cmd_init(args)
+
     if args.cmd == "security":
         from cortex_spark.crypto import generate_key
 
@@ -301,6 +458,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd in _STORE_COMMANDS and not args.store:
         return _die(f"'{args.cmd}' needs --store <pipeline out_dir>")
+
+    if args.cmd == "shell":
+        # no session here: each dispatched command's get_spark() is
+        # getOrCreate, so the first command creates it and the rest reuse it
+        return _cmd_shell(args)
 
     # filesystem-only: no SparkSession at all (cli robustness: restore used
     # to spin up Spark for a pure file copy)

@@ -49,6 +49,55 @@ DENSE_IDS_ABOVE = 50_000_000
 IDMAP_BROADCAST_MAX = 10_000_000
 
 
+def choose_lsh_params(
+    n: int,
+    target_bucket: int = 500,
+    base_bands: int = DEFAULT_BANDS,
+    rows_cap: int = 10,
+    design_sim: float = 0.75,
+    max_bands: int = 320,
+) -> tuple[int, int]:
+    """(rows_per_band, bands) for a corpus of n rows — candidate_topk's
+    self-tuning, kept pure so the cost/recall model is unit-testable.
+
+    Small/medium corpora (n ≤ target_bucket·2^rows_cap): the historical
+    formula — rows = ceil(log2(n/target_bucket)) clamped to [3, rows_cap],
+    bands = base_bands. Bit-identical for every committed oracle, bench,
+    and guardrail size.
+
+    Past the clamp the historical formula froze rows, so the mean bucket
+    grew linearly with n: per-row GEMM cost ∝ bucket ⇒ O(n²) total wall
+    (measured: 256k-page leg ≈ 2× the per-row link cost of the 64k leg,
+    BASELINE.md §Round-4), and once buckets cross max_bucket the hot-bucket
+    cap truncates EVERY bucket — silent recall collapse in the 10⁹-row
+    regime. Instead hold the bucket at ~target_bucket by taking more rows
+    per band, and hold the band-union recall at its clamp-point value by
+    growing the band count: recall(s) = 1-(1-p(s)^r)^b with
+    p(s) = 1-arccos(s)/π (random-hyperplane collision probability), so the
+    exact compensating band count is b(r) = ⌈ln(1-R)/ln(1-p^r)⌉ for the
+    clamp-point recall R at design_sim. Compute becomes
+    O(n·b(n)·target_bucket) ≈ O(n^1.38) — no quadratic cliff and no
+    truncation regime. Bands are budget-capped at max_bands (shuffle
+    volume ∝ bands); past THAT (n ≳ 10⁹ at the defaults) rows stop growing
+    and max_bucket bounds compute linearly — the regime where the IVF
+    index (dataops/ann.py) is the right tool.
+    """
+    rows_raw = int(np.ceil(np.log2(max(n / target_bucket, 1.0))))
+    if rows_raw <= rows_cap:
+        return min(rows_cap, max(3, rows_raw)), base_bands
+    p = 1.0 - float(np.arccos(design_sim)) / np.pi
+    recall_base = 1.0 - (1.0 - p**rows_cap) ** base_bands
+    rows, bands = rows_cap, base_bands
+    # 30-row ceiling keeps the packed signature's bits clear of the band id
+    # at bit 32 (band_sig_udf packing)
+    for r in range(rows_cap + 1, min(rows_raw, 30) + 1):
+        b = int(np.ceil(np.log(1.0 - recall_base) / np.log(1.0 - p**r)))
+        if b > max_bands:
+            break
+        rows, bands = r, b
+    return rows, bands
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     h = hashlib.blake2b(f"lsh:{dim}:{n_planes}:{seed}".encode(), digest_size=8).digest()
     rng = np.random.default_rng(int.from_bytes(h, "big"))
@@ -158,6 +207,8 @@ def candidate_topk(
     target_bucket: int = 500,
     n_rows: int | None = None,
     id_strategy: str = "auto",
+    rows_cap: int = 10,
+    design_sim: float = 0.75,
     _hash_fn=None,
 ) -> DataFrame:
     """Per-node top-k neighbors via bucketed GEMM — the scale path for the
@@ -180,13 +231,13 @@ def candidate_topk(
         dim = int(first["d"]) if first else 384
     n = n_rows
     if n_planes is None:
-        # adaptive band width: rows/band grows with corpus size so the mean
-        # bucket stays ~target_bucket rows (GEMM-sized); recall per band
-        # falls but 20 bands keep union recall high for rule-grade pairs.
+        # adaptive (rows, bands): mean bucket stays ~target_bucket rows
+        # (GEMM-sized) at ANY corpus size, band count grows past the clamp
+        # to hold recall — see choose_lsh_params for the cost/recall model.
         # callers that already know the row count pass n_rows to skip a job
         if n is None:
             n = nodes.count()
-        rows = min(10, max(3, int(np.ceil(np.log2(max(n / target_bucket, 1.0)) )) ))
+        rows, bands = choose_lsh_params(n, target_bucket, bands, rows_cap, design_sim)
         n_planes = rows * bands
 
     # Work on 64-bit surrogate ids so neighbor lists ride Arrow as

@@ -34,7 +34,7 @@ from cortex_spark.extract.fused import pages_to_nodes_fused
 from cortex_spark.linker.pipeline import ann_candidates, link_nodes
 from cortex_spark.session import get_spark
 
-cpus, n_pages = {cpus}, {n_pages}
+cpus, n_pages, frozen_lsh = {cpus}, {n_pages}, {frozen_lsh}
 spark = get_spark(f"scale-point-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.ui.enabled": "true"}})
@@ -46,8 +46,20 @@ nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
 n_nodes = nodes.count()
 t_extract = time.time() - t0
 
+from cortex_spark.linker.lsh import choose_lsh_params
+lsh_kwargs = {{"dim": 64, "n_rows": n_nodes}}
+if frozen_lsh:
+    # A/B leg: pre-band-boost parameters (rows frozen at 10, 20 bands) —
+    # the formula whose mean bucket grows linearly with n past 512k rows
+    import numpy as _np
+    lsh_rows = min(10, max(3, int(_np.ceil(_np.log2(max(n_nodes / 500, 1.0))))))
+    lsh_bands = 20
+    lsh_kwargs.update({{"n_planes": lsh_rows * 20, "bands": 20}})
+else:
+    lsh_rows, lsh_bands = choose_lsh_params(n_nodes)
+
 t1 = time.time()
-cands = ann_candidates(nodes, lsh_kwargs={{"dim": 64, "n_rows": n_nodes}}).localCheckpoint()
+cands = ann_candidates(nodes, lsh_kwargs=lsh_kwargs).localCheckpoint()
 edges = link_nodes(nodes, candidates=cands).localCheckpoint()
 n_edges = edges.count()
 t_link = time.time() - t1
@@ -93,6 +105,7 @@ except Exception as e:  # metrics are evidence, not correctness
 total = time.time() - t0
 print("CHILD_JSON " + json.dumps({{
     "cpus": cpus, "pages": n_pages, "nodes": n_nodes, "edges": n_edges,
+    "lsh": {{"frozen": bool(frozen_lsh), "rows": lsh_rows, "bands": lsh_bands}},
     "canonical_edges": n_cedges, "components": n_comp,
     "cc_rounds": cc_stats.get("rounds"),
     "extract_sec": round(t_extract, 2), "link_sec": round(t_link, 2),
@@ -106,9 +119,9 @@ print("CHILD_JSON " + json.dumps({{
 """
 
 
-def one_leg(cpus: int, n_pages: int, timeout: int = 7200) -> dict:
+def one_leg(cpus: int, n_pages: int, timeout: int = 7200, frozen_lsh: bool = False) -> dict:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = _CHILD.format(root=root, cpus=cpus, n_pages=n_pages)
+    code = _CHILD.format(root=root, cpus=cpus, n_pages=n_pages, frozen_lsh=frozen_lsh)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
@@ -118,39 +131,73 @@ def one_leg(cpus: int, n_pages: int, timeout: int = 7200) -> dict:
     raise RuntimeError(f"leg failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def host_probe() -> float:
-    """GEMM throughput probe (matches BASELINE.md methodology): gate on
-    host health so a degraded slot doesn't masquerade as a regression."""
+def host_probe(procs: int = 8, secs: float = 2.0) -> float:
+    """512×512 float32 GEMMs/sec across `procs` processes — the SAME
+    fingerprint bench.py records (healthy ≈1800 @8), so scale-point legs
+    are comparable against every other committed number."""
+    import multiprocessing as mp
+
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((500, 64), dtype=np.float32)
-    n, t0 = 0, time.time()
-    while time.time() - t0 < 2.0:
-        b = a @ a.T
-        np.argpartition(b, 10, axis=1)
-        n += 1
-    return round(n / (time.time() - t0), 1)
+    def burn(q):
+        a = np.random.RandomState(0).rand(512, 512).astype(np.float32)
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < secs:
+            a @ a
+            n += 1
+        q.put(n)
+
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=burn, args=(q,)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(total / secs, 1)
+
+
+def wait_for_health(min_gemms: float, max_wait: float = 7200.0) -> float:
+    """Block until the host probe clears min_gemms (the VM's health swings
+    by ~8× on hypervisor weather — rounds 2-4 all measured it; a timed leg
+    on a sick host is noise, not evidence). Returns the passing probe."""
+    t0 = time.time()
+    while True:
+        g = host_probe()
+        if g >= min_gemms or time.time() - t0 > max_wait:
+            if g < min_gemms:
+                print(f"# health gate TIMED OUT at {g} gemms/s (wanted {min_gemms})",
+                      file=sys.stderr)
+            return g
+        print(f"# host sick ({g} gemms/s < {min_gemms}), waiting...", file=sys.stderr)
+        sys.stderr.flush()
+        time.sleep(180)
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 256000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    timed_legs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    det_cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    frozen = "--frozen-lsh" in sys.argv
+    n_pages = int(args[0]) if len(args) > 0 else 256000
+    cpus = int(args[1]) if len(args) > 1 else 8
+    timed_legs = int(args[2]) if len(args) > 2 else 2
+    det_cpus = int(args[3]) if len(args) > 3 else 2
+    health_min = float(os.environ.get("SCALE_HEALTH_MIN", "1500"))
 
     legs = []
-    probes = [host_probe()]
+    probes = []
     for _ in range(timed_legs):
-        legs.append(one_leg(cpus, n_pages))
+        probes.append(wait_for_health(health_min))
+        legs.append(one_leg(cpus, n_pages, frozen_lsh=frozen))
         probes.append(host_probe())
         time.sleep(45)
     best = min(legs, key=lambda r: r["total_sec"])
-    det = one_leg(det_cpus, n_pages)
+    det = one_leg(det_cpus, n_pages, frozen_lsh=frozen)
     print(json.dumps({
         "metric": "kg_scale_point",
         "n_pages": n_pages,
         "timed_cpus": cpus,
+        "frozen_lsh": frozen,
         "best": best,
         "all_total_secs": [r["total_sec"] for r in legs],
         "host_gemms_per_sec": probes,

@@ -334,3 +334,80 @@ def test_cli_review_fixes(spark, cli_store, capsys, tmp_path):
 
     assert not os.path.exists(f"{cli_store}/canonical_nodes/data_tmp")
     assert not os.path.exists(f"{cli_store}/canonical_edges/data_tmp")
+
+
+def test_cli_init_wizard(tmp_path, monkeypatch, capsys):
+    """`init` (cli/init.rs): piped answers → cortex.toml that load_config
+    accepts, data dir created; --yes takes every default silently."""
+    import io
+
+    from cortex_spark.cli import main
+    from cortex_spark.config import load_config
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "cortex.toml"
+    # data dir, model=2 (bge-base 768d), autolinker=y, interval 120, nats, agents
+    answers = f"{tmp_path / 'store'}\n2\ny\n120\nnats\nkai, scout\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(answers))
+    assert main(["init", "--output", str(out)]) == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["valid"] and summary["embed_dim"] == 768
+    assert summary["agents"] == ["kai", "scout"]
+    cfg = load_config(str(out))
+    assert cfg.embed_dim == 768
+    assert cfg.retention.ttl_days_by_kind == {"observation": 90}
+    assert (tmp_path / "store").is_dir()
+    text = out.read_text()
+    assert "bge-base" in text and "nats_enabled = true" in text
+
+    # --yes: no stdin consumed, defaults everywhere (bge-small 384d)
+    out2 = tmp_path / "defaults.toml"
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert main(["init", "--output", str(out2), "--yes"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["embed_dim"] == 384 and summary["agents"] == ["default"]
+    assert (tmp_path / "data").is_dir()
+    # junk interval answer falls back to 60 (init.rs unwrap_or)
+    out3 = tmp_path / "junk.toml"
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n\ny\nnot-a-number\n\n\n"))
+    assert main(["init", "--output", str(out3)]) == 0
+    capsys.readouterr()
+    assert "interval_seconds = 60" in out3.read_text()
+
+
+def test_cli_shell_repl(spark, cli_store, capsys, monkeypatch, tmp_path):
+    """`shell` (cli/shell.rs): scripted REPL session — dispatch, quoting,
+    builtins, recursion guard, error isolation (a bad command doesn't kill
+    the loop)."""
+    import io
+
+    from cortex_spark.cli import main
+
+    script = (
+        "\n"                       # blank line skipped
+        "stats\n"
+        'search "deployment decision" -k 2\n'
+        "shell\n"                  # recursion guard
+        "init\n"                   # wizard blocked inside the REPL
+        "definitely-not-a-command\n"  # argparse error must not end the loop
+        "node list --limit 1\n"
+        "help\n"
+        "exit\n"
+        "stats\n"                  # after exit: must NOT run
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(script))
+    assert main(["--store", cli_store, "shell"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    assert "Already in shell mode." in lines
+    assert "Run `init` outside the shell." in lines
+    assert "Available commands" in out
+    json_lines = [json.loads(ln) for ln in lines if ln.startswith(("{", "["))]
+    stats_docs = [d for d in json_lines if isinstance(d, dict) and "node_count" in d]
+    assert len(stats_docs) == 1  # once before exit, never after
+    hits = [d for d in json_lines if isinstance(d, list) and d and "score" in d[0]]
+    assert hits and len(hits[0]) == 2  # quoted query survived shlex
+
+    # shell without --store dies with the standard error contract
+    assert main(["shell"]) == 2
+    capsys.readouterr()

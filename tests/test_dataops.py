@@ -424,3 +424,74 @@ def test_fit_ivf_centroids_skips_count_when_n_rows_given(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", _boom)
     C = fit_ivf_centroids(df, n_centroids=4, seed=7, n_rows=400)
     assert np.array_equal(C, C_counted)
+
+
+def test_choose_lsh_params_model():
+    """Self-tuning (rows, bands): historical formula below the clamp
+    (bit-identical for every committed oracle/bench size), recall-held
+    band-boost past it — the fix for the measured O(n²) regime where frozen
+    rows let the mean bucket grow linearly with n (BASELINE.md §Round-4)."""
+    from cortex_spark.linker.lsh import choose_lsh_params
+
+    # historical regime: exact match with the frozen formula, bands fixed
+    for n in (100, 5_000, 21_000, 135_000, 500 * 2**10):
+        rows, bands = choose_lsh_params(n)
+        assert bands == 20
+        assert rows == min(10, max(3, int(np.ceil(np.log2(max(n / 500, 1.0))))))
+
+    p = 1 - np.arccos(0.75) / np.pi
+    base_recall = 1 - (1 - p**10) ** 20
+    prev_rows = 0
+    for n in (512_001, 10**6, 10**7, 10**8, 10**9, 10**12):
+        rows, bands = choose_lsh_params(n)
+        assert 10 < rows <= 30 and 20 < bands <= 320
+        # recall at the design similarity never drops below the clamp point
+        assert 1 - (1 - p**rows) ** bands >= base_recall - 1e-12
+        # per-row GEMM cost beats the frozen formula (untruncated; the
+        # frozen path's max_bucket truncation is the recall collapse this
+        # replaces, not a fair cost baseline)
+        assert bands * min(n / 2**rows, 2000) < 20 * (n / 2**10)
+        assert rows >= prev_rows
+        prev_rows = rows
+    # no bucket truncation anywhere below ~2·10⁹ rows (the frozen formula
+    # starts truncating EVERY bucket at ~2·10⁶)
+    for n in (10**7, 10**8, 2 * 10**9):
+        rows, _ = choose_lsh_params(n)
+        assert n / 2**rows <= 2000
+
+
+def test_candidate_topk_band_boost_recall(spark):
+    """Integration: the boosted branch (rows past rows_cap, compensated
+    bands) keeps ≥0.95 candidate recall on planted clusters. rows_cap=3 +
+    small target_bucket force the boost at test size (240 rows → rows=6,
+    bands=44-ish) — same code path a 10⁸-row corpus takes."""
+    from cortex_spark.linker.lsh import brute_force_pairs, candidate_topk, choose_lsh_params
+
+    rows_sel, bands_sel = choose_lsh_params(240, target_bucket=4, rows_cap=3)
+    assert rows_sel > 3 and bands_sel > 20  # sanity: boost engaged
+
+    rng = np.random.default_rng(23)
+    data = []
+    rid = 0
+    for c in range(30):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for m in range(8):
+            v = center + rng.uniform(0.2, 0.7) * rng.standard_normal(64) / 8.0
+            v /= np.linalg.norm(v)
+            data.append((str(rid), [float(x) for x in v]))
+            rid += 1
+    d = spark.createDataFrame(data, "node_id string, embedding array<float>").cache()
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in brute_force_pairs(d).filter("score >= 0.75").collect()
+    }
+    got = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in candidate_topk(d, k=10, target_bucket=4, rows_cap=3, n_rows=240)
+        .filter("score >= 0.75").collect()
+    }
+    truth = {tuple(sorted(t)) for t in truth}
+    assert len(truth) > 100
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"band-boost recall {recall} below 0.95 ({len(truth)} true pairs)"
