@@ -809,6 +809,49 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second compressed-image path with NO optional dependency:
+    deterministic GIF89a fixtures (seed-derived 256/16-color palettes, odd
+    ids interlaced, real LZW streams incl. width growth) decoded by the
+    stdlib LZW codec (dataops/multimodal.py:_decode_gif — PIL keeps
+    priority when importable and yields the identical raster) →
+    channel-mean features. Hash-checked against a golden from an
+    INDEPENDENT scalar spec decoder (scripts/make_gif_golden.py)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        encode_gif,
+    )
+
+    def build(batches):
+        # fixture construction stays executor-side (no driver collect)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"g{i}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "content": [
+                        encode_gif(10, 6, seed=i, interlace=(i % 2 == 1),
+                                   n_colors=16 if i % 3 == 0 else 256)
+                        for i in ids
+                    ],
+                    "media_meta": [
+                        {"mime": "image/gif", "width": 10, "height": 6, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = _embs(spark, sf_dir).filter("vec_id < 64").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    out = decode_and_featurize(media)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode (stdlib wave, dataops/multimodal.py:_decode_wav)
     over executor-built sine fixtures: n_samples = 4000 + (id mod 5)·400 at
@@ -1772,13 +1815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, and the window ROTATES each round so no query's driver
     # evidence goes more than ~one round stale. Round-4 window: the 16
     # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the two new round-4 queries (streaming_counts,
-    # png_features); 18 round-3-green redundant slices rotate OUT (each
+    # rotate IN, plus the three new round-4 queries (streaming_counts,
+    # png_features, gif_features); 19 round-3-green redundant slices rotate
+    # OUT (each
     # displaced entry's family keeps a stronger in-window oracle — e.g.
     # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
     # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
-    # first_rule_wins→rule_cascade, node_filter→dsl_filter). Union of
-    # CORRECTNESS_r04 ∪ r03 covers all 68 queries.
+    # first_rule_wins→rule_cascade, node_filter→dsl_filter,
+    # kind_histogram→text_profile/stats family). Union of
+    # CORRECTNESS_r04 ∪ r03 covers all 69 queries.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
@@ -1800,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ── new this round ──
         "streaming_counts": q_streaming_counts,
         "png_features": q_png_features,
+        "gif_features": q_gif_features,
         # ── kept in-window: flagship / strongest oracle per family ──
         "cc": q_cc,
         "gate_full": q_gate_full,
@@ -1817,7 +1863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "extract_text": q_extract_text,
         "classify": q_classify,
-        "kind_histogram": q_kind_histogram,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
@@ -1835,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_filter": q_dsl_filter,
         # ── past the 50-query window: redundant slices, all driver-green
         # in CORRECTNESS_r03 (≤1 round stale) ──
+        "kind_histogram": q_kind_histogram,
         "write_gate": q_write_gate,
         "score_decay": q_score_decay,
         "briefing_rank": q_briefing_rank,
@@ -2381,6 +2427,25 @@ def _png_sql() -> str:
             "\n) AS t(media_id, width, height, channels, f0)")
 
 
+def _gif_sql() -> str:
+    """Golden VALUES oracle for the stdlib GIF codec: fixture bytes
+    re-decoded by an INDEPENDENT scalar spec decoder
+    (scripts/make_gif_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "gif_features.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, {}, {})".format(m, w, h, c, f0)
+        for m, w, h, c, f0 in golden["rows"]
+    )
+    return ("SELECT media_id, width, height, channels, CAST(f0 AS DOUBLE) AS f0 "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, width, height, channels, f0)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2468,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
         "briefing": _briefing_sql(),
         "multimodal_decode": _multimodal_sql(),
         "png_features": _png_sql(),
+        "gif_features": _gif_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

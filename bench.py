@@ -147,6 +147,7 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     results["kg_pipeline"] = kg.pop("kg_secs")
 
     total = time.time() - t_total
+    spark.stop()  # free the local[32] JVM before the scaling subprocesses run
     return {
         "metric": "kg_pipeline_plus_headline_queries",
         "value": round(total, 3),
@@ -159,10 +160,43 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     }
 
 
+def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
+    """North-rule evidence, embedded in every BENCH JSON: the SAME KG job on
+    the SAME input at two parallelism levels (fresh subprocess per leg — a
+    second SparkContext in one JVM inherits degraded state), throughput at
+    both plus efficiency = (tps_high / tps_low) / (high / low). ABBA order
+    with min-of-two per level: this VM's run-to-run swing is 1.5-2× at
+    identical code (BASELINE.md methodology). The 2→8 pair is the one this
+    host can serve — aggregate memory bandwidth DROPS past ~8 cores
+    (BASELINE.md §Why), so 8→32 measures the host, not the engine."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_scaling import one_run
+
+    lo, hi = pair
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for cpus in (hi, lo, lo, hi):  # ABBA
+        runs[cpus].append(one_run(cpus, n_pages))
+        time.sleep(20)
+    low = min(runs[lo], key=lambda r: r["secs"])
+    high = min(runs[hi], key=lambda r: r["secs"])
+    eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (hi / lo)
+    return {
+        "n_pages": n_pages,
+        "pair": [lo, hi],
+        "low": low,
+        "high": high,
+        "efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     out = run_bench(sf_dir, cpus)
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        out["scaling"] = run_scaling(
+            int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PAGES", "16000"))
+        )
     print(json.dumps(out))
 
 

@@ -5,8 +5,11 @@ The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
 signatures over `mapInPandas` — is real and tested. Codecs:
 
 - REAL, dependency-free: PPM/PGM images (P6/P5 binary netpbm, numpy
-  parse incl. comment handling) and PCM WAV audio (stdlib `wave`) —
-  genuine decode → feature-extract paths with no external libraries.
+  parse incl. comment handling), 8-bit PNG (stdlib zlib + the five
+  scanline unfilters, _decode_png), GIF87a/89a (appendix-F LZW with
+  9→12-bit width growth, interlace, color tables, _decode_gif), and PCM
+  WAV audio (stdlib `wave`) — genuine decode → feature-extract paths
+  with no external libraries.
 - OPTIONAL-DEPENDENCY SEAM: compressed formats light up automatically
   when the decoding library is importable on the executors — PIL for
   JPEG/PNG/WebP images, soundfile for FLAC/OGG/MP3 audio, PyAV for
@@ -264,6 +267,235 @@ def _decode_png(content: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, ch, arr
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_MAX_CODE = 4096  # 12-bit ceiling (GIF89a spec, appendix F)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, dynamic 9→12-bit codes,
+    CLEAR-reset when the table fills). Width sync with the decoder: the
+    decoder learns each table entry one code later than the encoder
+    creates it, so the encoder widens only when the NEXT code to assign
+    (not the one just assigned) would overflow the current width —
+    i.e. after inserting, bump when next_code > (1 << width)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    roots = {bytes([i]): i for i in range(clear)}
+    table = dict(roots)
+    next_code = eoi + 1
+    buf = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b_ in indices:
+        wk = w + bytes([b_])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < _GIF_MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (decoder mirrors on the CLEAR code)
+            emit(clear)
+            table = dict(roots)
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b_])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        buf.append(cur & 0xFF)
+    return bytes(buf)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """Textbook GIF LZW decode: after appending an entry, widen when the
+    table length reaches 1 << width; stop appending at 4096 until CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream (no EOI)")
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code after clear is not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("GIF LZW output overruns the image descriptor size")
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) rows
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    order: list[int] = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    seed: int = 0,
+    interlace: bool = False,
+    n_frames: int = 1,
+    n_colors: int = 256,
+) -> bytes:
+    """Deterministic, spec-valid GIF89a bytes for tests and goldens:
+    seed-derived global color table + indexed raster, real LZW stream,
+    a Graphic Control Extension per frame (exercises extension skipping),
+    optional interlace. Multi-frame output is a minimal animation whose
+    frames all cover the full logical screen."""
+    rng = np.random.default_rng(seed)
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    n_pal = 1 << gct_bits
+    palette = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | ((gct_bits - 1) & 7), 0, 0])  # GCT flag+size, bg 0, aspect 0
+    out += palette.tobytes()
+    min_code = max(2, gct_bits)
+    for _f in range(n_frames):
+        out += bytes([0x21, 0xF9, 4]) + struct.pack("<BHB", 0, 4, 0) + b"\x00"  # GCE
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x40 if interlace else 0x00])  # no LCT
+        idx = rng.integers(0, n_colors, size=(height, width), dtype=np.uint8)
+        if interlace:
+            idx = idx[_gif_interlace_order(height)]  # rows stored in pass order
+        out.append(min_code)
+        stream = _gif_lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib-only GIF87a/89a decode (LZW + palette, first frame): global
+    and local color tables, interlace row reordering, extension skipping;
+    a frame smaller than the logical screen is pasted onto a background-
+    color canvas. The correctness fallback when PIL is absent — PIL keeps
+    priority in _decode_one when importable."""
+    if content[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", content[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        if gct.shape[0] != n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", content[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 7)
+            pal = np.frombuffer(content[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(content):
+            raise ValueError("truncated GIF image data")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        parts = []
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            parts.append(content[pos + 1 : pos + 1 + ln])
+            if len(parts[-1]) < ln:
+                raise ValueError("truncated GIF data sub-block")
+            pos += 1 + ln
+        if pos >= len(content):
+            raise ValueError("GIF data sub-blocks missing terminator")
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(parts), min_code, iw * ih), dtype=np.uint8
+        )
+        if idx.size != iw * ih:
+            raise ValueError("GIF pixel data size mismatch")
+        idx = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in pass order
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[_gif_interlace_order(ih)] = idx
+            idx = deinterlaced
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("GIF index beyond palette")
+        frame = pal[idx]  # (ih, iw, 3)
+        if (left, top, iw, ih) == (0, 0, sw, sh):
+            return sw, sh, 3, frame
+        canvas = np.tile(pal[bg % pal.shape[0]], (sh, sw, 1))
+        canvas[top : top + ih, left : left + iw] = frame[: sh - top, : sw - left]
+        return sw, sh, 3, canvas
+    raise ValueError("GIF contains no image frame")
+
+
 def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
     if content[:8] == MAGIC:
         w, h, c = struct.unpack(">IIB", content[8:17])
@@ -284,6 +516,8 @@ def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
         return w, h, c, arr
     if content[:8] == PNG_SIG:  # stdlib fallback when PIL is absent
         return _decode_png(content)
+    if content[:6] in GIF_SIGS:  # stdlib fallback when PIL is absent
+        return _decode_gif(content)
     raise NotImplementedError(
         "compressed image codecs need the optional PIL dependency (absent here)"
     )

@@ -183,11 +183,12 @@ def main() -> None:
     timed_legs = int(args[2]) if len(args) > 2 else 2
     det_cpus = int(args[3]) if len(args) > 3 else 2
     health_min = float(os.environ.get("SCALE_HEALTH_MIN", "1500"))
+    health_wait = float(os.environ.get("SCALE_HEALTH_MAX_WAIT", "7200"))
 
     legs = []
     probes = []
     for _ in range(timed_legs):
-        probes.append(wait_for_health(health_min))
+        probes.append(wait_for_health(health_min, max_wait=health_wait))
         legs.append(one_leg(cpus, n_pages, frozen_lsh=frozen))
         probes.append(host_probe())
         time.sleep(45)

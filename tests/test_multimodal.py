@@ -339,3 +339,135 @@ def test_png_unsupported_variants_quarantine(spark):
     if not has_pil:  # stdlib decoder: explicit unsupported-variant messages
         assert "not supported" in out["deep"]["error"]
         assert "not supported" in out["laced"]["error"]
+
+
+def test_gif_stdlib_roundtrip_shapes_palettes_interlace():
+    """encode_gif → _decode_gif reproduces palette[indices] exactly across
+    sizes, palette widths (min LZW code 2..8), and interlace."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_gif, encode_gif
+
+    for n_colors in (4, 16, 256):
+        for interlace in (False, True):
+            for w, h, seed in ((8, 6, 0), (1, 1, 1), (13, 7, 2), (33, 17, 3)):
+                rng = np.random.default_rng(seed)
+                gct_bits = max(1, (n_colors - 1).bit_length())
+                pal = rng.integers(0, 256, size=(1 << gct_bits, 3), dtype=np.uint8)
+                idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+                W, H, C, arr = _decode_gif(
+                    encode_gif(w, h, seed=seed, interlace=interlace, n_colors=n_colors))
+                assert (W, H, C) == (w, h, 3)
+                assert np.array_equal(arr, pal[idx]), (n_colors, interlace, w, h)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """A 128×128 random 256-color raster drives the LZW table through every
+    code width 9→12 and past 4096 entries (CLEAR reset mid-stream); the
+    roundtrip must still be exact."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, size=128 * 128, dtype=np.uint8).tobytes()
+    enc = _gif_lzw_encode(data, 8)
+    assert _gif_lzw_decode(enc, 8, len(data)) == data
+    # compressible stream: long matches, different table shape
+    rep = (data[:97] * 200)[: 128 * 128]
+    assert _gif_lzw_decode(_gif_lzw_encode(rep, 8), 8, len(rep)) == rep
+
+
+def test_gif_stdlib_matches_independent_decoder():
+    """Engine decode vs scripts/make_gif_golden.py's scalar spec decoder:
+    bit-identical rasters on the driver-fixture payloads."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from make_gif_golden import decode_gif_independent
+
+    from cortex_spark.dataops.multimodal import _decode_gif, encode_gif
+
+    for i in (0, 1, 3, 14):
+        content = encode_gif(10, 6, seed=i, interlace=(i % 2 == 1),
+                             n_colors=16 if i % 3 == 0 else 256)
+        w1, h1, c1, a1 = _decode_gif(content)
+        w2, h2, c2, px = decode_gif_independent(content)
+        assert (w1, h1, c1) == (w2, h2, c2)
+        assert np.array_equal(a1.reshape(-1, 3), np.array(px, dtype=np.uint8))
+
+
+def test_gif_partial_frame_and_animation_first_frame():
+    """A sub-screen frame pastes onto a background-color canvas; an
+    animated GIF decodes to its FIRST frame."""
+    import struct
+
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_gif, _gif_lzw_encode, encode_gif
+
+    # hand-build: 4×4 screen, 2-entry GCT (bg=1 → white), 2×2 frame at (1,1)
+    pal = bytes([10, 20, 30, 255, 255, 255])
+    idx = bytes([0, 0, 0, 0])  # frame all color 0
+    gif = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x80, 1, 0]) + pal
+           + b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + bytes([2]))
+    stream = _gif_lzw_encode(idx, 2)
+    gif += bytes([len(stream)]) + stream + b"\x00" + b"\x3b"
+    w, h, c, arr = _decode_gif(gif)
+    assert (w, h, c) == (4, 4, 3)
+    assert np.array_equal(arr[0, 0], [255, 255, 255])  # bg
+    assert np.array_equal(arr[1, 1], [10, 20, 30])  # frame
+    assert np.array_equal(arr[2, 2], [10, 20, 30])
+    assert np.array_equal(arr[3, 3], [255, 255, 255])
+
+    multi = encode_gif(8, 8, seed=5, n_frames=3)
+    rng = np.random.default_rng(5)
+    pal5 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    first = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    _, _, _, arr5 = _decode_gif(multi)
+    assert np.array_equal(arr5, pal5[first])
+
+
+def test_gif_malformed_quarantines(spark):
+    """Truncated streams, bad block tags, and oversized LZW output all
+    quarantine into the error column; a good row in the same batch
+    survives."""
+    from cortex_spark.dataops.multimodal import encode_gif
+
+    good = encode_gif(6, 4, seed=2)
+    df = _media_df(spark, [
+        ("trunc", "image", good[: len(good) - 9], ("image/gif", None, None, None, None)),
+        ("header", "image", good[:10], ("image/gif", None, None, None, None)),
+        ("badtag", "image", good[:13] + good[13:13 + 768] + b"\x99rest", ("image/gif", None, None, None, None)),
+        ("good", "image", good, ("image/gif", None, None, None, None)),
+    ])
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    out = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    assert out["good"]["error"] is None and out["good"]["channels"] == 3
+    if not has_pil:
+        assert out["trunc"]["error"] is not None
+        assert out["header"]["error"] is not None
+        assert out["badtag"]["error"] is not None
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="optional PIL dependency absent")
+def test_gif_pil_seam_matches_stdlib_decoder(spark):
+    """With PIL importable it takes priority over the stdlib GIF decoder;
+    both must produce the identical raster → identical features."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_gif, _decode_one, encode_gif
+
+    for seed in (0, 3):
+        content = encode_gif(10, 6, seed=seed, n_colors=256)
+        w1, h1, c1, a1 = _decode_one(content)  # PIL path
+        w2, h2, c2, a2 = _decode_gif(content)  # stdlib path
+        assert (w1, h1, c1) == (w2, h2, c2)
+        assert np.array_equal(np.asarray(a1), np.asarray(a2))
