@@ -852,6 +852,52 @@ def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG path with NO optional dependency: deterministic SOF0
+    fixtures (gray + YCbCr 4:4:4/4:2:0, restart intervals on every 5th id,
+    Annex-K-style tables embedded in DQT/DHT) decoded by the stdlib+numpy
+    codec (dataops/multimodal.py:_decode_jpeg) → channel-mean features.
+    prefer_stdlib=True pins the deterministic stdlib decoder: JPEG decode
+    is implementation-defined at the pixel level, so the oracle must not
+    float with PIL's presence. Hash-checked against a golden from an
+    INDEPENDENT scalar T.81 decoder (scripts/make_jpeg_golden.py) —
+    bit-identical rasters, not just close ones."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        encode_jpeg,
+    )
+
+    def build(batches):
+        # fixture construction stays executor-side (no driver collect)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"j{i}" for i in ids],
+                    "kind": ["image"] * len(ids),
+                    "content": [
+                        encode_jpeg(16, 11, channels=1 if i % 4 == 3 else 3, seed=i,
+                                    subsample="420" if i % 2 == 1 else "444",
+                                    restart_interval=2 if i % 5 == 0 else 0)
+                        for i in ids
+                    ],
+                    "media_meta": [
+                        {"mime": "image/jpeg", "width": 16, "height": 11, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = _embs(spark, sf_dir).filter("vec_id < 64").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    out = decode_and_featurize(media, prefer_stdlib=True)
+    return out.select(
+        "media_id", "width", "height", "channels", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode (stdlib wave, dataops/multimodal.py:_decode_wav)
     over executor-built sine fixtures: n_samples = 4000 + (id mod 5)·400 at
@@ -1815,15 +1861,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, and the window ROTATES each round so no query's driver
     # evidence goes more than ~one round stale. Round-4 window: the 16
     # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the three new round-4 queries (streaming_counts,
-    # png_features, gif_features); 19 round-3-green redundant slices rotate
-    # OUT (each
+    # rotate IN, plus the four new round-4 queries (streaming_counts,
+    # png_features, gif_features, jpeg_features); 20 round-3-green redundant
+    # slices rotate OUT (each
     # displaced entry's family keeps a stronger in-window oracle — e.g.
     # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
     # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
     # first_rule_wins→rule_cascade, node_filter→dsl_filter,
-    # kind_histogram→text_profile/stats family). Union of
-    # CORRECTNESS_r04 ∪ r03 covers all 69 queries.
+    # kind_histogram→text_profile/stats family,
+    # multimodal_decode→png/gif/jpeg_features, which exercise the same
+    # decode_and_featurize plumbing through real compressed codecs).
+    # Union of CORRECTNESS_r04 ∪ r03 covers all 70 queries.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
@@ -1846,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": q_streaming_counts,
         "png_features": q_png_features,
         "gif_features": q_gif_features,
+        "jpeg_features": q_jpeg_features,
         # ── kept in-window: flagship / strongest oracle per family ──
         "cc": q_cc,
         "gate_full": q_gate_full,
@@ -1860,7 +1909,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_blend": q_hybrid_blend,
         "simhash": q_simhash,
         "kg_triples": q_kg_triples,
-        "multimodal_decode": q_multimodal_decode,
         "extract_text": q_extract_text,
         "classify": q_classify,
         "text_profile": q_text_profile,
@@ -1881,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ── past the 50-query window: redundant slices, all driver-green
         # in CORRECTNESS_r03 (≤1 round stale) ──
         "kind_histogram": q_kind_histogram,
+        "multimodal_decode": q_multimodal_decode,
         "write_gate": q_write_gate,
         "score_decay": q_score_decay,
         "briefing_rank": q_briefing_rank,
@@ -2446,6 +2495,25 @@ def _gif_sql() -> str:
             "\n) AS t(media_id, width, height, channels, f0)")
 
 
+def _jpeg_sql() -> str:
+    """Golden VALUES oracle for the stdlib baseline-JPEG codec: fixture
+    bytes re-decoded by an INDEPENDENT scalar T.81 decoder
+    (scripts/make_jpeg_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "jpeg_features.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, {}, {})".format(m, w, h, c, f0)
+        for m, w, h, c, f0 in golden["rows"]
+    )
+    return ("SELECT media_id, width, height, channels, CAST(f0 AS DOUBLE) AS f0 "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, width, height, channels, f0)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2534,6 +2602,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _multimodal_sql(),
         "png_features": _png_sql(),
         "gif_features": _gif_sql(),
+        "jpeg_features": _jpeg_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

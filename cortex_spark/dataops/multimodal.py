@@ -7,9 +7,13 @@ signatures over `mapInPandas` — is real and tested. Codecs:
 - REAL, dependency-free: PPM/PGM images (P6/P5 binary netpbm, numpy
   parse incl. comment handling), 8-bit PNG (stdlib zlib + the five
   scanline unfilters, _decode_png), GIF87a/89a (appendix-F LZW with
-  9→12-bit width growth, interlace, color tables, _decode_gif), and PCM
-  WAV audio (stdlib `wave`) — genuine decode → feature-extract paths
-  with no external libraries.
+  9→12-bit width growth, interlace, color tables, _decode_gif),
+  baseline JPEG (T.81 SOF0/SOF1: DQT/DHT parse, Huffman entropy decode,
+  float64 IDCT, 4:4:4/4:2:2/4:2:0, restart intervals, _decode_jpeg),
+  and PCM WAV audio (stdlib `wave`) — genuine decode → feature-extract
+  paths with no external libraries. JPEG decode is implementation-
+  defined at the pixel level, so oracle fixtures pin prefer_stdlib=True;
+  production keeps PIL priority for speed.
 - OPTIONAL-DEPENDENCY SEAM: compressed formats light up automatically
   when the decoding library is importable on the executors — PIL for
   JPEG/PNG/WebP images, soundfile for FLAC/OGG/MP3 audio, PyAV for
@@ -496,13 +500,523 @@ def _decode_gif(content: bytes) -> tuple[int, int, int, np.ndarray]:
     raise ValueError("GIF contains no image frame")
 
 
-def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
+# ── Baseline JPEG (ITU T.81): dependency-free encoder fixture + decoder ──
+# Public-spec tables (Annex K): sample quantization matrices and the
+# typical Huffman tables. The encoder EMBEDS its tables in DQT/DHT
+# segments, so decode correctness never depends on recalling Annex K
+# exactly — any conforming decoder reads them back from the stream.
+
+_JPEG_QUANT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_JPEG_QUANT_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+_JPEG_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [int(h, 16) for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91 a1 08"
+        " 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a 25 26 27 28"
+        " 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53 54 55 56 57 58 59"
+        " 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79 7a 83 84 85 86 87 88 89"
+        " 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa b2 b3 b4 b5 b6"
+        " b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2"
+        " e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8 f9 fa").split()],
+)
+_JPEG_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [int(h, 16) for h in (
+        "00 01 02 03 11 04 05 21 31 06 12 41 51 07 61 71 13 22 32 81 08 14 42 91"
+        " a1 b1 c1 09 23 33 52 f0 15 62 72 d1 0a 16 24 34 e1 25 f1 17 18 19 1a 26"
+        " 27 28 29 2a 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53 54 55 56 57 58"
+        " 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79 7a 82 83 84 85 86 87"
+        " 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa b2 b3 b4"
+        " b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da"
+        " e2 e3 e4 e5 e6 e7 e8 e9 ea f2 f3 f4 f5 f6 f7 f8 f9 fa").split()],
+)
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: F = M f Mᵀ, f = Mᵀ F M."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per T.81 C.2 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                if self.cur == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.cur = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.cur = (self.cur << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.buf.append(self.cur)
+            if self.cur == 0xFF:
+                self.buf.append(0x00)
+            self.cur = 0
+            self.nbits = 0
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, bits) per T.81 F.1.2.1: negative values store v + 2^size - 1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1)
+
+
+def _jpeg_encode_block(
+    wr: _JpegBitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    m = _jpeg_dct_matrix()
+    coef = m @ (block.astype(np.float64) - 128.0) @ m.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+    dc = int(zz[0])
+    size, bits = _jpeg_magnitude(dc - pred)
+    c, ln = dc_codes[size]
+    wr.write(c, ln)
+    if size:
+        wr.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                c, ln = ac_codes[0x00]  # EOB
+                wr.write(c, ln)
+                break
+            run += 1
+            if run == 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                wr.write(c, ln)
+                run = 0
+            continue
+        size, bits = _jpeg_magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        wr.write(c, ln)
+        wr.write(bits, size)
+        run = 0
+    return dc
+
+
+def encode_jpeg(
+    width: int, height: int, channels: int = 3, seed: int = 0,
+    subsample: str = "444", smooth: int = 4, restart_interval: int = 0,
+    quality: int = 88,
+) -> bytes:
+    """Deterministic, spec-valid baseline JPEG (SOF0) bytes for tests and
+    goldens: seed-derived smooth raster (block-averaged noise upsampled, so
+    the lossy roundtrip stays near the source), gray or YCbCr 4:4:4/4:2:0,
+    Annex-K-style quant (libjpeg-style quality scaling) + typical Huffman
+    tables embedded in DQT/DHT."""
+    if channels not in (1, 3):
+        raise ValueError("JPEG fixture channels must be 1 or 3")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    rng = np.random.default_rng(seed)
+    coarse = rng.integers(40, 216, size=((height + smooth - 1) // smooth,
+                                         (width + smooth - 1) // smooth,
+                                         channels))
+    img = np.repeat(np.repeat(coarse, smooth, 0), smooth, 1)[:height, :width].astype(np.float64)
+
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [img[..., 0]]
+
+    v420 = channels == 3 and subsample == "420"
+    samp = [(2, 2), (1, 1), (1, 1)] if v420 else [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    comp_px = []
+    for i, p in enumerate(planes):
+        sh, sv = samp[i]
+        cw = (width * sh + hmax - 1) // hmax
+        chh = (height * sv + vmax - 1) // vmax
+        if (sh, sv) == (hmax, vmax):
+            sub = p
+        else:  # box-average 2×2 (pad odd edges by replication first)
+            pp = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            sub = pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2).mean(axis=(1, 3))
+        full_w, full_h = mcus_x * 8 * sh, mcus_y * 8 * sv
+        sub = np.pad(sub, ((0, full_h - chh), (0, full_w - cw)), mode="edge")
+        comp_px.append(sub)
+
+    qts = [
+        np.clip((t * scale + 50) // 100, 1, 255).astype(np.int32)
+        for t in (_JPEG_QUANT_LUM, _JPEG_QUANT_CHROM)
+    ]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts[: 1 if channels == 1 else 2]):
+        zz = q.reshape(-1)[_JPEG_ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zz
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for i in range(len(planes)):
+        tq = 0 if i == 0 else 1
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0 if channels == 1 else tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+    if channels == 3:
+        tables += [(0x01, _JPEG_DC_CHROM), (0x11, _JPEG_AC_CHROM)]
+    for tc_th, (bits, vals) in tables:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        td_ta = 0x00 if i == 0 else 0x11
+        sos += bytes([i + 1, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = [_jpeg_huff_codes(*_JPEG_DC_LUM), _jpeg_huff_codes(*_JPEG_DC_CHROM)]
+    ac_codes = [_jpeg_huff_codes(*_JPEG_AC_LUM), _jpeg_huff_codes(*_JPEG_AC_CHROM)]
+    wr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wr.flush()
+                wr.buf += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                preds = [0] * len(planes)
+            mcu_i += 1
+            for i, px in enumerate(comp_px):
+                sh, sv = samp[i]
+                t = 0 if i == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = px[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[i] = _jpeg_encode_block(
+                            wr, block, qts[0 if (channels == 1 or i == 0) else 1],
+                            preds[i], dc_codes[t], ac_codes[t])
+    wr.flush()
+    out += wr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first entropy reads with 0xFF00 unstuffing; RSTn resets."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller via sync()
+                raise _JpegRestart()
+            else:
+                raise ValueError(f"JPEG marker 0x{nxt:02x} inside entropy data")
+        else:
+            self.pos += 1
+        self.cur = (self.cur << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RSTn marker, clearing bit state."""
+        self.cur = self.nbits = 0
+        while not (self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _JpegRestart(Exception):
+    pass
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Stdlib+numpy baseline JPEG decode (SOF0/SOF1): embedded DQT/DHT
+    tables, interleaved scan, 4:4:4 / 4:2:2 / 4:2:0 with replication
+    upsampling, restart intervals, float64 IDCT. A conforming sequential
+    decoder — NOT bit-identical to libjpeg's fast integer IDCT, which is
+    why jpeg oracle fixtures pin prefer_stdlib=True. PIL keeps priority
+    in _decode_one when importable."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", content[pos : pos + 2])
+        body = content[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(body[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                dez = np.zeros(64, dtype=np.int32)
+                dez[_JPEG_ZIGZAG] = vals
+                qt[tq] = dez.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                p += 17 + n
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported (stdlib decoder)")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline/extended-sequential JPEG supported (stdlib decoder)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 15})
+            pos += seg_len
+            return _jpeg_decode_scan(
+                content, pos, frame, scan, qt, huff, restart_interval)
+        pos += seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _jpeg_decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    m = _jpeg_dct_matrix()
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
+        for c in scan
+    ]
+    rd = _JpegBitReader(content, pos)
+    preds = [0] * len(scan)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                rd.sync_restart()
+                preds = [0] * len(scan)
+            mcu_i += 1
+            for ci, c in enumerate(scan):
+                if c["tq"] not in qt:
+                    raise ValueError("JPEG scan references missing quant table")
+                q = qt[c["tq"]]
+                dct = huff.get((0, c["td"]))
+                act = huff.get((1, c["ta"]))
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        try:
+                            zz = np.zeros(64, dtype=np.int64)
+                            size = _jpeg_huff_decode(rd, dct)
+                            diff = _jpeg_extend(rd.receive(size), size)
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huff_decode(rd, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overrun")
+                                zz[k] = _jpeg_extend(rd.receive(s), s)
+                                k += 1
+                        except _JpegRestart:
+                            raise ValueError("JPEG restart marker mid-block")
+                        except IndexError:
+                            raise ValueError("truncated JPEG entropy stream")
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZIGZAG] = zz * q.reshape(-1)[_JPEG_ZIGZAG]
+                        blk = m.T @ coef.reshape(8, 8) @ m + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    full: list[np.ndarray] = []
+    for ci, c in enumerate(scan):
+        p = planes[ci]
+        if (c["h"], c["v"]) != (hmax, vmax):  # replication upsampling
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        arr = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return w, h, 1, arr
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    arr = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return w, h, 3, arr
+
+
+def _stdlib_image_decode(content: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Dependency-free decoders for the compressed formats we own; None
+    when the payload is some other format (PIL seam or quarantine)."""
+    if content[:8] == PNG_SIG:
+        return _decode_png(content)
+    if content[:6] in GIF_SIGS:
+        return _decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg(content)
+    return None
+
+
+def _decode_one(content: bytes, prefer_stdlib: bool = False) -> tuple[int, int, int, np.ndarray]:
     if content[:8] == MAGIC:
         w, h, c = struct.unpack(">IIB", content[8:17])
         arr = np.frombuffer(content[17 : 17 + w * h * c], dtype=np.uint8).reshape(h, w, c)
         return w, h, c, arr
     if content[:2] in (b"P6", b"P5"):
         return _parse_pnm(content)
+    if prefer_stdlib:
+        # pin the deterministic stdlib codecs ahead of PIL: JPEG decode is
+        # implementation-defined at the pixel level (IDCT + upsampling
+        # choices), so oracle fixtures must not float with the environment
+        got = _stdlib_image_decode(content)
+        if got is not None:
+            return got
     if _PIL_Image is not None:  # compressed codecs via the optional seam
         import io
 
@@ -514,25 +1028,29 @@ def _decode_one(content: bytes) -> tuple[int, int, int, np.ndarray]:
             arr = arr[:, :, None]
         h, w, c = arr.shape
         return w, h, c, arr
-    if content[:8] == PNG_SIG:  # stdlib fallback when PIL is absent
-        return _decode_png(content)
-    if content[:6] in GIF_SIGS:  # stdlib fallback when PIL is absent
-        return _decode_gif(content)
+    got = _stdlib_image_decode(content)  # stdlib fallback when PIL is absent
+    if got is not None:
+        return got
     raise NotImplementedError(
         "compressed image codecs need the optional PIL dependency (absent here)"
     )
 
 
-def decode_and_featurize(media: DataFrame, resize_to: tuple[int, int] | None = None) -> DataFrame:
+def decode_and_featurize(
+    media: DataFrame,
+    resize_to: tuple[int, int] | None = None,
+    prefer_stdlib: bool = False,
+) -> DataFrame:
     """mapInPandas decode → per-channel mean features; errors quarantined
-    into the `error` column instead of failing the batch."""
+    into the `error` column instead of failing the batch. prefer_stdlib
+    pins the deterministic stdlib codecs ahead of PIL (oracle fixtures)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    w, h, c, arr = _decode_one(bytes(content))
+                    w, h, c, arr = _decode_one(bytes(content), prefer_stdlib=prefer_stdlib)
                     if resize_to is not None:
                         tw, th = resize_to
                         xi = (np.arange(tw) * (w / tw)).astype(int)

@@ -471,3 +471,86 @@ def test_gif_pil_seam_matches_stdlib_decoder(spark):
         w2, h2, c2, a2 = _decode_gif(content)  # stdlib path
         assert (w1, h1, c1) == (w2, h2, c2)
         assert np.array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_jpeg_stdlib_roundtrip_quality_and_shapes():
+    """encode_jpeg → _decode_jpeg: exact on flat blocks (DC-only), within
+    quantization error on smooth rasters, across gray/color, 4:4:4/4:2:0,
+    and non-MCU-aligned sizes."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_jpeg, encode_jpeg
+
+    _, _, _, flat = _decode_jpeg(encode_jpeg(8, 8, channels=3, seed=7, smooth=64))
+    rng = np.random.default_rng(7)
+    src = np.repeat(np.repeat(rng.integers(40, 216, size=(1, 1, 3)), 64, 0), 64, 1)[:8, :8]
+    assert np.abs(flat.astype(float) - src).max() <= 6  # flat → DC-only
+
+    for ch, sub in ((1, "444"), (3, "444"), (3, "420")):
+        for w, h in ((16, 16), (13, 7), (34, 21), (1, 1)):
+            b = encode_jpeg(w, h, channels=ch, seed=ch * 100 + w, subsample=sub)
+            W, H, C, arr = _decode_jpeg(b)
+            assert (W, H, C) == (w, h, ch)
+            rng = np.random.default_rng(ch * 100 + w)
+            coarse = rng.integers(40, 216, size=((h + 3) // 4, (w + 3) // 4, ch))
+            src = np.repeat(np.repeat(coarse, 4, 0), 4, 1)[:h, :w].astype(np.float64)
+            err = np.abs(arr.astype(np.float64) - src)
+            assert err.mean() < (8.0 if sub == "444" else 20.0), (ch, sub, w, h)
+
+
+def test_jpeg_restart_interval_decodes_identically():
+    """DRI/RSTn segmentation changes the byte stream but not the pixels."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _decode_jpeg, encode_jpeg
+
+    plain = encode_jpeg(48, 32, channels=3, seed=5, subsample="420")
+    rst = encode_jpeg(48, 32, channels=3, seed=5, subsample="420", restart_interval=2)
+    assert plain != rst
+    _, _, _, a1 = _decode_jpeg(plain)
+    _, _, _, a2 = _decode_jpeg(rst)
+    assert np.array_equal(a1, a2)
+
+
+def test_jpeg_stdlib_matches_independent_decoder():
+    """Engine decode vs scripts/make_jpeg_golden.py's scalar T.81 decoder:
+    BIT-IDENTICAL rasters on the driver-fixture payloads (both implement
+    the documented float64-IDCT + replication-upsampling contract)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from make_jpeg_golden import decode_jpeg_independent, fixture
+
+    from cortex_spark.dataops.multimodal import _decode_jpeg
+
+    for i in (0, 1, 3, 5, 10):  # covers gray, 420, restart, 444 color
+        content = fixture(i)
+        w1, h1, c1, a1 = _decode_jpeg(content)
+        w2, h2, c2, px = decode_jpeg_independent(content)
+        assert (w1, h1, c1) == (w2, h2, c2)
+        assert np.array_equal(a1, np.array(px, dtype=np.uint8).reshape(h2, w2, c2))
+
+
+def test_jpeg_malformed_and_progressive_quarantine(spark):
+    """Truncated entropy streams and progressive (SOF2) payloads quarantine
+    into the error column; a good row in the same batch survives. The
+    fixture query path pins prefer_stdlib (deterministic vs PIL)."""
+    from cortex_spark.dataops.multimodal import decode_and_featurize as dec
+    from cortex_spark.dataops.multimodal import encode_jpeg
+
+    good = encode_jpeg(16, 11, channels=3, seed=2)
+    sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # progressive marker
+    df = _media_df(spark, [
+        ("trunc", "image", good[: len(good) - 20], ("image/jpeg", None, None, None, None)),
+        ("header", "image", good[:3], ("image/jpeg", None, None, None, None)),
+        ("sof2", "image", sof2, ("image/jpeg", None, None, None, None)),
+        ("good", "image", good, ("image/jpeg", None, None, None, None)),
+    ])
+    out = {r["media_id"]: r for r in dec(df, prefer_stdlib=True).collect()}
+    assert out["good"]["error"] is None and out["good"]["channels"] == 3
+    assert out["trunc"]["error"] is not None
+    assert out["header"]["error"] is not None
+    assert "only baseline" in out["sof2"]["error"]
