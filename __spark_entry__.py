@@ -964,6 +964,47 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "frame_idx", "ts_ms", "width", "height")
 
 
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode with NO optional dependency: MJPEG AVI
+    fixtures (RIFF hdrl/movi, one baseline-JPEG '00dc' chunk per frame,
+    odd ids grayscale) parsed by the stdlib RIFF walk + JPEG codec
+    (dataops/multimodal.py:_parse_avi_mjpeg), sampled every 100 ms.
+    Hash-checked — INCLUDING per-frame luma means — against a golden from
+    an independent RIFF walk + scalar T.81 decoder
+    (scripts/make_avi_golden.py)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_video_frames, encode_avi_mjpeg
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"av{i}" for i in ids],
+                    "kind": ["video"] * len(ids),
+                    "content": [
+                        encode_avi_mjpeg(16, 11, n_frames=2 + i % 3, fps=10, seed=i,
+                                         gray=(i % 2 == 1))
+                        for i in ids
+                    ],
+                    "media_meta": [
+                        {"mime": "video/x-msvideo", "width": 16, "height": 11, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = (
+        _embs(spark, sf_dir).filter("vec_id < 32").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
+    out = decode_video_frames(media, every_ms=100)
+    return out.select(
+        "media_id", "frame_idx", "ts_ms", "width", "height",
+        F.round(F.col("luma_mean"), 6).alias("luma"),
+    )
+
+
 def q_cursor_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6/§2.11 changed-since cursor batch through the real select_fresh:
     live filter (deleted/embedding), created-OR-updated-after-cursor,
@@ -1861,17 +1902,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, and the window ROTATES each round so no query's driver
     # evidence goes more than ~one round stale. Round-4 window: the 16
     # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the four new round-4 queries (streaming_counts,
-    # png_features, gif_features, jpeg_features); 20 round-3-green redundant
-    # slices rotate OUT (each
+    # rotate IN, plus the five new round-4 queries (streaming_counts,
+    # png_features, gif_features, jpeg_features, avi_frames); 21
+    # round-3-green redundant slices rotate OUT (each
     # displaced entry's family keeps a stronger in-window oracle — e.g.
     # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
     # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
     # first_rule_wins→rule_cascade, node_filter→dsl_filter,
     # kind_histogram→text_profile/stats family,
+    # exact_dedup→minhash/simhash/neardup family,
     # multimodal_decode→png/gif/jpeg_features, which exercise the same
     # decode_and_featurize plumbing through real compressed codecs).
-    # Union of CORRECTNESS_r04 ∪ r03 covers all 70 queries.
+    # Union of CORRECTNESS_r04 ∪ r03 covers all 71 queries.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
@@ -1895,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_features": q_png_features,
         "gif_features": q_gif_features,
         "jpeg_features": q_jpeg_features,
+        "avi_frames": q_avi_frames,
         # ── kept in-window: flagship / strongest oracle per family ──
         "cc": q_cc,
         "gate_full": q_gate_full,
@@ -1912,7 +1955,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "classify": q_classify,
         "text_profile": q_text_profile,
-        "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1930,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in CORRECTNESS_r03 (≤1 round stale) ──
         "kind_histogram": q_kind_histogram,
         "multimodal_decode": q_multimodal_decode,
+        "exact_dedup": q_exact_dedup,
         "write_gate": q_write_gate,
         "score_decay": q_score_decay,
         "briefing_rank": q_briefing_rank,
@@ -2514,6 +2557,26 @@ def _jpeg_sql() -> str:
             "\n) AS t(media_id, width, height, channels, f0)")
 
 
+def _avi_sql() -> str:
+    """Golden VALUES oracle for the MJPEG-AVI path: fixture bytes re-parsed
+    by an INDEPENDENT RIFF walk + scalar T.81 decoder
+    (scripts/make_avi_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "avi_frames.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, {}, {}, {})".format(m, fi, ts, w, h, lm)
+        for m, fi, ts, w, h, lm in golden["rows"]
+    )
+    return ("SELECT media_id, frame_idx, CAST(ts_ms AS BIGINT) AS ts_ms, width, height, "
+            "CAST(luma AS DOUBLE) AS luma "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, frame_idx, ts_ms, width, height, luma)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2603,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "png_features": _png_sql(),
         "gif_features": _gif_sql(),
         "jpeg_features": _jpeg_sql(),
+        "avi_frames": _avi_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

@@ -10,10 +10,11 @@ signatures over `mapInPandas` — is real and tested. Codecs:
   9→12-bit width growth, interlace, color tables, _decode_gif),
   baseline JPEG (T.81 SOF0/SOF1: DQT/DHT parse, Huffman entropy decode,
   float64 IDCT, 4:4:4/4:2:2/4:2:0, restart intervals, _decode_jpeg),
-  and PCM WAV audio (stdlib `wave`) — genuine decode → feature-extract
-  paths with no external libraries. JPEG decode is implementation-
-  defined at the pixel level, so oracle fixtures pin prefer_stdlib=True;
-  production keeps PIL priority for speed.
+  MJPEG AVI video (RIFF chunk walk + per-frame JPEG decode,
+  _parse_avi_mjpeg), and PCM WAV audio (stdlib `wave`) — genuine decode
+  → feature-extract paths with no external libraries. JPEG decode is
+  implementation-defined at the pixel level, so oracle fixtures pin
+  prefer_stdlib=True; production keeps PIL priority for speed.
 - OPTIONAL-DEPENDENCY SEAM: compressed formats light up automatically
   when the decoding library is importable on the executors — PIL for
   JPEG/PNG/WebP images, soundfile for FLAC/OGG/MP3 audio, PyAV for
@@ -1199,9 +1200,100 @@ def _parse_av(content: bytes):
     return w, h, fps_num, fps_den, lumas
 
 
+def encode_avi_mjpeg(
+    width: int, height: int, n_frames: int, fps: int = 25, seed: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Deterministic, spec-valid RIFF AVI with an MJPG video stream
+    (hdrl: avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER),
+    movi: one '00dc' baseline-JPEG chunk per frame). A REAL compressed
+    video container decodable with zero optional dependencies."""
+    frames = [
+        encode_jpeg(width, height, channels=1 if gray else 3, seed=seed * 1000 + i)
+        for i in range(n_frames)
+    ]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n_frames, 0, 1, 0,
+        width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                            n_frames, 0, 10000, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi_mjpeg(content: bytes):
+    """Stdlib+numpy MJPEG-AVI parse: RIFF chunk walk → strh 'vids' rate,
+    '00dc'/'00db' JPEG frames → _decode_jpeg → luma planes. Returns the
+    same (w, h, fps_num, fps_den, lumas) shape as the y4m parser."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    fps_num, fps_den = 25, 1
+    frames: list[bytes] = []
+    in_vids = False
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps_num, fps_den, in_vids
+        while pos + 8 <= end:
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            data_end = pos + 8 + size
+            if data_end > len(content):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(pos + 12, data_end)
+            elif fourcc == b"strh":
+                body = content[pos + 8 : data_end]
+                in_vids = body[:4] == b"vids"
+                if in_vids:
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    if rate:
+                        fps_num, fps_den = rate, max(scale, 1)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(content[pos + 8 : data_end])
+            pos = data_end + (size & 1)  # chunks are word-aligned
+
+    walk(12, 8 + struct.unpack("<I", content[4:8])[0])
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    lumas = []
+    w = h = None
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "non-MJPEG AVI streams need the optional PyAV dependency")
+        fw, fh, fc, arr = _decode_jpeg(f)
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError("AVI frame size changed mid-stream")
+        if fc == 1:
+            lumas.append(arr[:, :, 0])
+        else:  # JFIF luma from RGB, banker's-rounded like the decoders
+            r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+            lumas.append(np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                                 0, 255).astype(np.uint8))
+    return w, h, fps_num, fps_den, lumas
+
+
 def _parse_y4m(content: bytes):
     """REAL YUV4MPEG2 parse (numpy only): header tokens → (w, h, fps),
-    frames → luma planes. Raises on anything that isn't well-formed y4m."""
+    frames → luma planes. MJPEG-AVI routes to the stdlib RIFF parser;
+    other compressed containers need the optional PyAV seam."""
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        return _parse_avi_mjpeg(content)
     nl = content.index(b"\n")
     tokens = content[:nl].split(b" ")
     if tokens[0] != b"YUV4MPEG2":

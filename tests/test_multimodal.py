@@ -554,3 +554,47 @@ def test_jpeg_malformed_and_progressive_quarantine(spark):
     assert out["trunc"]["error"] is not None
     assert out["header"]["error"] is not None
     assert "only baseline" in out["sof2"]["error"]
+
+
+def test_avi_mjpeg_parse_and_luma():
+    """encode_avi_mjpeg → _parse_avi_mjpeg: fps from strh, per-frame luma
+    identical to decoding the same JPEG payload directly (gray channel-0;
+    JFIF Y for color)."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import (
+        _decode_jpeg, _parse_avi_mjpeg, _parse_y4m, encode_avi_mjpeg, encode_jpeg)
+
+    for gray in (False, True):
+        b = encode_avi_mjpeg(16, 11, n_frames=3, fps=10, seed=4, gray=gray)
+        w, h, num, den, lumas = _parse_y4m(b)  # dispatches to the AVI parser
+        assert (w, h, num, den, len(lumas)) == (16, 11, 10, 1, 3)
+        _, _, c, arr = _decode_jpeg(encode_jpeg(16, 11, channels=1 if gray else 3, seed=4000))
+        if gray:
+            exp = arr[:, :, 0]
+        else:
+            r, g, bb = (arr[:, :, i].astype(np.float64) for i in range(3))
+            exp = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * bb), 0, 255).astype(np.uint8)
+        assert np.array_equal(lumas[0], exp)
+
+
+def test_avi_mjpeg_malformed_and_foreign_codec(spark):
+    """Truncated RIFF structures quarantine; a non-JPEG '00dc' payload
+    surfaces the PyAV NotImplementedError; good rows survive the batch."""
+    from cortex_spark.dataops.multimodal import decode_video_frames, encode_avi_mjpeg
+
+    good = encode_avi_mjpeg(16, 11, n_frames=2, fps=10, seed=1)
+    i = good.find(b"\xff\xd8")
+    foreign = good[:i] + b"\x00\x00" + good[i + 2 :]
+    df = _media_df(spark, [
+        ("trunc", "video", good[: len(good) // 2], ("video/x-msvideo", None, None, None, None)),
+        ("foreign", "video", foreign, ("video/x-msvideo", None, None, None, None)),
+        ("good", "video", good, ("video/x-msvideo", None, None, None, None)),
+    ])
+    rows = decode_video_frames(df, every_ms=100).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert all(r["error"] is None for r in by_id["good"]) and len(by_id["good"]) == 2
+    assert by_id["trunc"][0]["error"] is not None
+    assert "PyAV" in by_id["foreign"][0]["error"]
