@@ -809,6 +809,47 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-telephony audio with NO optional dependency: G.711
+    μ-law (even ids) / A-law (odd ids) WAVs — format codes 7/6, which the
+    stdlib `wave` module cannot read — expanded through spec tables
+    (dataops/multimodal.py:_decode_wav_g711) → downmix/RMS/ZCR features.
+    Hash-checked against a golden from INDEPENDENT scalar ITU formulas
+    (scripts/make_g711_golden.py)."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_audio_features, encode_wav_g711
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"u{i}" for i in ids],
+                    "kind": ["audio"] * len(ids),
+                    "content": [
+                        encode_wav_g711(2000 + (i % 4) * 500, rate=8000,
+                                        law="mu" if i % 2 == 0 else "a",
+                                        channels=1 + i % 2, seed=i)
+                        for i in ids
+                    ],
+                    "media_meta": [
+                        {"mime": "audio/wav", "width": None, "height": None, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = (
+        _embs(spark, sf_dir).filter("vec_id < 48").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
+    out = decode_audio_features(media)
+    return out.select(
+        "media_id", "channels", "sample_rate", "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"), F.round(F.col("zcr"), 6).alias("zcr"),
+    )
+
+
 def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second compressed-image path with NO optional dependency:
     deterministic GIF89a fixtures (seed-derived 256/16-color palettes, odd
@@ -1902,18 +1943,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, and the window ROTATES each round so no query's driver
     # evidence goes more than ~one round stale. Round-4 window: the 16
     # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the five new round-4 queries (streaming_counts,
-    # png_features, gif_features, jpeg_features, avi_frames); 21
-    # round-3-green redundant slices rotate OUT (each
+    # rotate IN, plus the six new round-4 queries (streaming_counts,
+    # png_features, gif_features, jpeg_features, avi_frames,
+    # g711_features); 22 round-3-green redundant slices rotate OUT (each
     # displaced entry's family keeps a stronger in-window oracle — e.g.
     # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
     # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
     # first_rule_wins→rule_cascade, node_filter→dsl_filter,
     # kind_histogram→text_profile/stats family,
-    # exact_dedup→minhash/simhash/neardup family,
+    # exact_dedup/minhash_signature→simhash/neardup/ngram family,
     # multimodal_decode→png/gif/jpeg_features, which exercise the same
     # decode_and_featurize plumbing through real compressed codecs).
-    # Union of CORRECTNESS_r04 ∪ r03 covers all 71 queries.
+    # Union of CORRECTNESS_r04 ∪ r03 covers all 72 queries.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
@@ -1938,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features": q_gif_features,
         "jpeg_features": q_jpeg_features,
         "avi_frames": q_avi_frames,
+        "g711_features": q_g711_features,
         # ── kept in-window: flagship / strongest oracle per family ──
         "cc": q_cc,
         "gate_full": q_gate_full,
@@ -1955,7 +1997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": q_extract_text,
         "classify": q_classify,
         "text_profile": q_text_profile,
-        "minhash_signature": q_minhash_signature,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -1973,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kind_histogram": q_kind_histogram,
         "multimodal_decode": q_multimodal_decode,
         "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
         "write_gate": q_write_gate,
         "score_decay": q_score_decay,
         "briefing_rank": q_briefing_rank,
@@ -2577,6 +2619,26 @@ def _avi_sql() -> str:
             "\n) AS t(media_id, frame_idx, ts_ms, width, height, luma)")
 
 
+def _g711_sql() -> str:
+    """Golden VALUES oracle for the G.711 μ-law/A-law WAV path: fixture
+    bytes re-expanded by INDEPENDENT scalar ITU formulas
+    (scripts/make_g711_golden.py), sf-independent (vec_id seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "g711_features.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, CAST({} AS BIGINT), {}, {})".format(m, c, r, d, rms, zcr)
+        for m, c, r, d, rms, zcr in golden["rows"]
+    )
+    return ("SELECT media_id, channels, sample_rate, duration_ms, "
+            "CAST(rms AS DOUBLE) AS rms, CAST(zcr AS DOUBLE) AS zcr "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, channels, sample_rate, duration_ms, rms, zcr)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2667,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_features": _gif_sql(),
         "jpeg_features": _jpeg_sql(),
         "avi_frames": _avi_sql(),
+        "g711_features": _g711_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

@@ -1106,12 +1106,78 @@ def _audio_features(mono: np.ndarray, nch: int, rate: int, nframes: int):
     return nch, rate, duration_ms, rms, zcr
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry expansion tables per ITU G.711 (the classic public
+    formulas: μ-law complement + biased-exponent unfold, A-law 0x55 XOR +
+    segment shift). Returned as int16 linear sample values (μ, A)."""
+    codes = np.arange(256, dtype=np.int32)
+    u = ~codes & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    mu = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = ((a & 0x0F) << 4) + np.where(seg == 0, 8, 0x108)
+    t = t << np.maximum(seg - 1, 0)
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return mu, alaw
+
+
+_G711_MU, _G711_A = _g711_tables()
+
+
+def encode_wav_g711(n_samples: int, rate: int = 8000, law: str = "mu",
+                    channels: int = 1, seed: int = 0) -> bytes:
+    """Valid G.711 WAV bytes (format code 7 μ-law / 6 A-law, 8-bit):
+    RIFF fmt+data written by hand (the stdlib `wave` module is PCM-only).
+    The payload is a seed-derived byte stream — every byte is a valid
+    G.711 code, so no compressor is needed for deterministic fixtures."""
+    fmt_code = {"mu": 7, "a": 6}[law]
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, size=n_samples * channels, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, rate, rate * channels, channels, 8)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_g711(content: bytes) -> tuple[int, int, int, float, float] | None:
+    """Manual RIFF walk for G.711 WAV (format 6/7) — returns None when the
+    container is PCM (stdlib path) and raises for other format codes."""
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    code, nch, rate = fmt[0], fmt[1], fmt[2]
+    if code == 1:
+        return None  # PCM → stdlib wave path
+    if code not in (6, 7):
+        raise NotImplementedError(
+            f"WAV format code {code} not supported (PCM/G.711 only)")
+    table = _G711_MU if code == 7 else _G711_A
+    lin = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    nframes = len(lin) // nch
+    mono = lin[: nframes * nch].reshape(-1, nch).mean(axis=1)
+    return _audio_features(mono, nch, rate, nframes)
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
-    """REAL PCM WAV decode via the stdlib `wave` module — no external
-    libraries. Compressed audio (FLAC/OGG/MP3) routes through the optional
-    soundfile seam when importable, NotImplementedError-quarantines when
-    not. Returns (channels, rate, duration_ms, rms, zero-crossing rate)
-    over the downmixed signal."""
+    """REAL WAV decode — PCM via the stdlib `wave` module, G.711 μ-law /
+    A-law via spec expansion tables — no external libraries. Compressed
+    audio (FLAC/OGG/MP3) routes through the optional soundfile seam when
+    importable, NotImplementedError-quarantines when not. Returns
+    (channels, rate, duration_ms, rms, zero-crossing rate) over the
+    downmixed signal."""
     import io
     import wave
 
@@ -1123,6 +1189,10 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
         raise NotImplementedError(
             "compressed audio codecs need the optional soundfile dependency (absent here)"
         )
+
+    got = _decode_wav_g711(content)
+    if got is not None:
+        return got
 
     with wave.open(io.BytesIO(content)) as wf:
         nch, sw, rate, nframes = (

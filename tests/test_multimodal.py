@@ -598,3 +598,46 @@ def test_avi_mjpeg_malformed_and_foreign_codec(spark):
     assert all(r["error"] is None for r in by_id["good"]) and len(by_id["good"]) == 2
     assert by_id["trunc"][0]["error"] is not None
     assert "PyAV" in by_id["foreign"][0]["error"]
+
+
+def test_g711_tables_match_itu_anchors():
+    """Expansion tables hit the canonical G.711 anchor values (Sun g711.c
+    reference points) and are antisymmetric across the sign bit."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _G711_A, _G711_MU
+
+    assert _G711_MU[0x00] == -32124 and _G711_MU[0x80] == 32124
+    assert _G711_MU[0x7F] == 0 and _G711_MU[0xFF] == 0
+    assert _G711_A[0x55] == -8 and _G711_A[0xD5] == 8
+    assert _G711_A[0x2A] == -32256 and _G711_A[0xAA] == 32256
+    assert np.array_equal(_G711_MU[:128], -_G711_MU[128:])
+    assert np.array_equal(_G711_A[:128], -_G711_A[128:])
+
+
+def test_g711_wav_decode_and_quarantine(spark):
+    """μ-law/A-law WAVs (format codes the stdlib wave module rejects)
+    decode to correct header features; an unknown format code quarantines;
+    PCM keeps flowing through the stdlib path in the same batch."""
+    import struct as st
+
+    from cortex_spark.dataops.multimodal import (
+        decode_audio_features, encode_wav, encode_wav_g711)
+
+    adpcm = bytearray(encode_wav_g711(100, law="mu", seed=0))
+    adpcm[20:22] = st.pack("<H", 2)  # MS ADPCM format code → unsupported
+    df = _media_df(spark, [
+        ("mu", "audio", encode_wav_g711(4000, rate=8000, law="mu", channels=2, seed=3),
+         ("audio/wav", None, None, None, None)),
+        ("al", "audio", encode_wav_g711(3000, rate=8000, law="a", channels=1, seed=4),
+         ("audio/wav", None, None, None, None)),
+        ("pcm", "audio", encode_wav(4000, rate=8000, channels=1),
+         ("audio/wav", None, None, None, None)),
+        ("adpcm", "audio", bytes(adpcm), ("audio/wav", None, None, None, None)),
+    ])
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    assert (out["mu"]["channels"], out["mu"]["sample_rate"], out["mu"]["duration_ms"]) == (2, 8000, 500)
+    assert (out["al"]["channels"], out["al"]["duration_ms"]) == (1, 375)
+    assert out["pcm"]["error"] is None and out["pcm"]["duration_ms"] == 500
+    assert out["mu"]["rms"] > 0 and 0 < out["mu"]["zcr"] < 1
+    assert "not supported" in out["adpcm"]["error"]
