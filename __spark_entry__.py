@@ -850,6 +850,52 @@ def q_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed audio with NO optional dependency: FLAC
+    fixtures (FIXED-prediction subframes with rice residuals, rotating
+    left-side/right-side/mid-side stereo decorrelation, CRC trailers)
+    decoded by the stdlib bit-level codec
+    (dataops/multimodal.py:_decode_flac). FLAC is lossless, so the oracle
+    is GROUND TRUTH: features of the source signal itself, re-derived
+    with scalar Python math (scripts/make_flac_golden.py) — any decode
+    defect anywhere in the chain breaks the hash."""
+    import pandas as pd
+
+    from cortex_spark.dataops.multimodal import MEDIA_SCHEMA, decode_audio_features, encode_flac
+
+    def build(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["vec_id"]]
+            rows = []
+            for i in ids:
+                stereo = ["independent", "ls", "rs", "ms"][i % 4]
+                channels = 1 if i % 5 == 0 else 2
+                if channels == 1:
+                    stereo = "independent"
+                rows.append(encode_flac(900 + (i % 3) * 700, rate=8000,
+                                        channels=channels, seed=i, stereo=stereo))
+            yield pd.DataFrame(
+                {
+                    "media_id": [f"f{i}" for i in ids],
+                    "kind": ["audio"] * len(ids),
+                    "content": rows,
+                    "media_meta": [
+                        {"mime": "audio/flac", "width": None, "height": None, "channels": None, "duration_ms": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    media = (
+        _embs(spark, sf_dir).filter("vec_id < 48").select("vec_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+    )
+    out = decode_audio_features(media)
+    return out.select(
+        "media_id", "channels", "sample_rate", "duration_ms",
+        F.round(F.col("rms"), 6).alias("rms"), F.round(F.col("zcr"), 6).alias("zcr"),
+    )
+
+
 def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second compressed-image path with NO optional dependency:
     deterministic GIF89a fixtures (seed-derived 256/16-color palettes, odd
@@ -1943,9 +1989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries, and the window ROTATES each round so no query's driver
     # evidence goes more than ~one round stale. Round-4 window: the 16
     # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the six new round-4 queries (streaming_counts,
-    # png_features, gif_features, jpeg_features, avi_frames,
-    # g711_features); 22 round-3-green redundant slices rotate OUT (each
+    # rotate IN, plus the seven new round-4 queries (streaming_counts,
+    # png_features, gif_features, jpeg_features, avi_frames, g711_features,
+    # flac_features); 23 round-3-green redundant slices rotate OUT (each
     # displaced entry's family keeps a stronger in-window oracle — e.g.
     # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
     # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
@@ -1954,7 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact_dedup/minhash_signature→simhash/neardup/ngram family,
     # multimodal_decode→png/gif/jpeg_features, which exercise the same
     # decode_and_featurize plumbing through real compressed codecs).
-    # Union of CORRECTNESS_r04 ∪ r03 covers all 72 queries.
+    # Union of CORRECTNESS_r04 ∪ r03 covers all 73 queries.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
         "topk_per_group": q_topk_per_group,
@@ -1980,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_features": q_jpeg_features,
         "avi_frames": q_avi_frames,
         "g711_features": q_g711_features,
+        "flac_features": q_flac_features,
         # ── kept in-window: flagship / strongest oracle per family ──
         "cc": q_cc,
         "gate_full": q_gate_full,
@@ -1999,7 +2046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
         "rule_cascade": q_rule_cascade,
         "config_rules": q_config_rules,
         "dedup_actions": q_dedup_actions,
@@ -2015,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
+        "embedding_neardup": q_embedding_neardup,
         "write_gate": q_write_gate,
         "score_decay": q_score_decay,
         "briefing_rank": q_briefing_rank,
@@ -2639,6 +2686,27 @@ def _g711_sql() -> str:
             "\n) AS t(media_id, channels, sample_rate, duration_ms, rms, zcr)")
 
 
+def _flac_sql() -> str:
+    """Golden VALUES oracle for the FLAC path — GROUND TRUTH: lossless
+    decode must reproduce the source signal, whose features are re-derived
+    scalar-wise (scripts/make_flac_golden.py), sf-independent (vec_id
+    seeds)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "flac_features.json")
+    golden = json.load(open(path))
+    vals = ",\n".join(
+        "('{}', {}, {}, CAST({} AS BIGINT), {}, {})".format(m, c, r, d, rms, zcr)
+        for m, c, r, d, rms, zcr in golden["rows"]
+    )
+    return ("SELECT media_id, channels, sample_rate, duration_ms, "
+            "CAST(rms AS DOUBLE) AS rms, CAST(zcr AS DOUBLE) AS zcr "
+            "FROM (VALUES\n" + vals +
+            "\n) AS t(media_id, channels, sample_rate, duration_ms, rms, zcr)")
+
+
 def _briefing_sql() -> str:
     """Golden VALUES oracle for the briefing report over the frozen
     subgraph (see q_briefing / scripts/make_kg_golden.py briefing_oracle)."""
@@ -2730,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_features": _jpeg_sql(),
         "avi_frames": _avi_sql(),
         "g711_features": _g711_sql(),
+        "flac_features": _flac_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_topk": (
             "SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM ("

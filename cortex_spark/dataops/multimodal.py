@@ -11,8 +11,11 @@ signatures over `mapInPandas` — is real and tested. Codecs:
   baseline JPEG (T.81 SOF0/SOF1: DQT/DHT parse, Huffman entropy decode,
   float64 IDCT, 4:4:4/4:2:2/4:2:0, restart intervals, _decode_jpeg),
   MJPEG AVI video (RIFF chunk walk + per-frame JPEG decode,
-  _parse_avi_mjpeg), and PCM WAV audio (stdlib `wave`) — genuine decode
-  → feature-extract paths with no external libraries. JPEG decode is
+  _parse_avi_mjpeg), PCM WAV audio (stdlib `wave`), G.711 μ-law/A-law
+  WAV (ITU expansion tables, _decode_wav_g711), and 16-bit FLAC
+  (fixed/LPC prediction, rice partitions, mid/side stereo,
+  _decode_flac) — genuine decode → feature-extract paths with no
+  external libraries. JPEG decode is
   implementation-defined at the pixel level, so oracle fixtures pin
   prefer_stdlib=True; production keeps PIL priority for speed.
 - OPTIONAL-DEPENDENCY SEAM: compressed formats light up automatically
@@ -1171,6 +1174,413 @@ def _decode_wav_g711(content: bytes) -> tuple[int, int, int, float, float] | Non
     return _audio_features(mono, nch, rate, nframes)
 
 
+# ── FLAC (dependency-free subset): 16-bit, fixed/LPC prediction ──
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over the frame byte stream."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.pos = pos  # bit position
+        self.nbits = len(data) * 8
+
+    def take(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated FLAC bitstream")
+        v = 0
+        p = self.pos
+        # byte-at-a-time fast path
+        while n:
+            byte = self.d[p >> 3]
+            avail = 8 - (p & 7)
+            k = min(n, avail)
+            v = (v << k) | ((byte >> (avail - k)) & ((1 << k) - 1))
+            p += k
+            n -= k
+        self.pos = p
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.take(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.take(1) == 0:
+            q += 1
+            if q > self.nbits:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_utf8_number(rd: _FlacBitReader) -> int:
+    """UTF-8-style coded frame/sample number (FLAC frame header)."""
+    b0 = rd.take(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise ValueError("bad FLAC coded number")
+    v = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = rd.take(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("bad FLAC coded number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FLAC_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+
+def _flac_residual(rd: _FlacBitReader, n: int, pred_order: int) -> list[int]:
+    method = rd.take(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual coding method")
+    plen = 4 + method  # rice parameter width (4 or 5 bits)
+    escape = (1 << plen) - 1
+    porder = rd.take(4)
+    nparts = 1 << porder
+    # block splits into nparts equal partitions; the first one holds
+    # n/nparts - pred_order residuals (warmup samples are not residuals)
+    if n % nparts or n // nparts < pred_order:
+        raise ValueError("bad FLAC partition order")
+    out: list[int] = []
+    for part in range(nparts):
+        cnt = n // nparts - (pred_order if part == 0 else 0)
+        param = rd.take(plen)
+        if param == escape:
+            width = rd.take(5)
+            for _ in range(cnt):
+                out.append(rd.signed(width) if width else 0)
+        else:
+            for _ in range(cnt):
+                q = rd.unary()
+                v = (q << param) | rd.take(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(rd: _FlacBitReader, n: int, bps: int) -> list[int]:
+    if rd.take(1):
+        raise ValueError("bad FLAC subframe padding bit")
+    stype = rd.take(6)
+    wasted = 0
+    if rd.take(1):  # wasted-bits flag: unary count - 1 more
+        wasted = 1 + rd.unary()
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        samples = [rd.signed(bps)] * n
+    elif stype == 1:  # VERBATIM
+        samples = [rd.signed(bps) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        samples = [rd.signed(bps) for _ in range(order)]
+        res = _flac_residual(rd, n, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(pred + r)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        samples = [rd.signed(bps) for _ in range(order)]
+        prec = rd.take(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = rd.signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [rd.signed(prec) for _ in range(order)]
+        res = _flac_residual(rd, n, order)
+        for r in res:
+            acc = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append((acc >> shift) + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_write_subframe(wr: _FlacBitWriter, samples: list[int], bps: int, order: int) -> None:
+    """FIXED-order subframe with a single rice partition (porder 0)."""
+    wr.put(0, 1)
+    wr.put(8 + order, 6)
+    wr.put(0, 1)  # no wasted bits
+    coefs = _FLAC_FIXED_COEFS[order]
+    for s in samples[:order]:
+        wr.put(s & ((1 << bps) - 1), bps)
+    res = []
+    for i in range(order, len(samples)):
+        pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        res.append(samples[i] - pred)
+    zig = [(2 * r if r >= 0 else -2 * r - 1) for r in res]
+    mean = (sum(zig) / len(zig)) if zig else 0
+    param = 0
+    while (1 << (param + 1)) < mean + 1 and param < 14:
+        param += 1
+    wr.put(0, 2)  # rice method 0 (4-bit params)
+    wr.put(0, 4)  # partition order 0
+    wr.put(param, 4)
+    for v in zig:
+        q = v >> param
+        if q > 1 << 20:
+            raise ValueError("rice quotient blowup (bad fixture signal)")
+        for _ in range(q):
+            wr.put(0, 1)
+        wr.put(1, 1)
+        wr.put(v & ((1 << param) - 1), param)
+
+
+def encode_flac(
+    n_samples: int, rate: int = 8000, channels: int = 1, seed: int = 0,
+    blocksize: int = 1024, stereo: str = "independent",
+) -> bytes:
+    """Deterministic, spec-valid FLAC bytes (16-bit) for tests and goldens:
+    STREAMINFO + fixed-blocksize frames, FIXED-prediction subframes with
+    real rice-coded residuals (order rotates 0/1/2 per channel+frame),
+    optional left-side / right-side / mid-side stereo decorrelation,
+    correct CRC-8/CRC-16 trailers. The payload is a seeded smooth signal
+    (sine + slow noise) so fixed prediction genuinely compresses."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+    sig = np.zeros((n_samples, channels))
+    for c in range(channels):
+        freq = 200.0 + 40.0 * c + (seed % 7) * 15.0
+        wave_ = 9000 * np.sin(2 * np.pi * freq * t / rate)
+        drift = np.cumsum(rng.integers(-60, 61, size=n_samples))
+        sig[:, c] = np.clip(wave_ + drift, -30000, 30000)
+    pcm = sig.astype(np.int64)
+
+    out = bytearray(b"fLaC")
+    info = _FlacBitWriter()
+    info.put(blocksize, 16)
+    info.put(blocksize, 16)
+    info.put(0, 24)
+    info.put(0, 24)
+    info.put(rate, 20)
+    info.put(channels - 1, 3)
+    info.put(15, 5)  # 16-bit
+    info.put(n_samples, 36)
+    info.buf += bytes(16)  # md5 unset
+    out += bytes([0x80]) + struct.pack(">I", len(info.buf))[1:] + info.buf
+
+    ms_mode = {"independent": None, "ls": 8, "rs": 9, "ms": 10}[stereo]
+    if ms_mode is not None and channels != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+
+    frame_no = 0
+    pos = 0
+    while pos < n_samples:
+        n = min(blocksize, n_samples - pos)
+        wr = _FlacBitWriter()
+        wr.put(0x3FFE, 14)
+        wr.put(0, 1)
+        wr.put(0, 1)  # fixed-blocksize strategy
+        bs_code = {192: 1, 576: 2, 1152: 3, 256: 8, 512: 9, 1024: 10,
+                   2048: 11, 4096: 12}.get(n, 7)
+        wr.put(bs_code, 4)
+        wr.put(0, 4)  # sample rate from STREAMINFO
+        wr.put(ms_mode if ms_mode is not None else channels - 1, 4)
+        wr.put(4, 3)  # 16-bit
+        wr.put(0, 1)
+        # UTF-8 coded frame number; 2-byte form above 0x7F (fixture frame
+        # counts stay far below the 11-bit ceiling of that form)
+        fn = frame_no
+        if fn < 0x80:
+            wr.put(fn, 8)
+        elif fn < 0x800:
+            wr.put(0xC0 | (fn >> 6), 8)
+            wr.put(0x80 | (fn & 0x3F), 8)
+        else:
+            raise ValueError("fixture frame count exceeds encoder's 2-byte coded numbers")
+        if bs_code == 7:
+            wr.put(n - 1, 16)
+        wr.put(_crc8(bytes(wr.buf)), 8)  # header is byte-aligned here
+        block = pcm[pos : pos + n]
+        if ms_mode is None:
+            for c in range(channels):
+                order = (frame_no + c) % 3
+                _flac_write_subframe(wr, [int(x) for x in block[:, c]], 16, order)
+        else:
+            left = [int(x) for x in block[:, 0]]
+            right = [int(x) for x in block[:, 1]]
+            side = [l - r for l, r in zip(left, right)]
+            if ms_mode == 8:
+                _flac_write_subframe(wr, left, 16, frame_no % 3)
+                _flac_write_subframe(wr, side, 17, (frame_no + 1) % 3)
+            elif ms_mode == 9:
+                _flac_write_subframe(wr, side, 17, frame_no % 3)
+                _flac_write_subframe(wr, right, 16, (frame_no + 1) % 3)
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _flac_write_subframe(wr, mid, 16, frame_no % 3)
+                _flac_write_subframe(wr, side, 17, (frame_no + 1) % 3)
+        wr.align()
+        wr.put(_crc16_flac(bytes(wr.buf)), 16)
+        out += wr.buf
+        pos += n
+        frame_no += 1
+    return bytes(out)
+
+
+def _decode_flac(content: bytes) -> tuple[int, int, int, float, float]:
+    """Dependency-free FLAC decode (16-bit subset): STREAMINFO metadata,
+    frame sync walk, CONSTANT/VERBATIM/FIXED/LPC subframes, 4/5-bit rice
+    partitions with escape codes, left/right/mid-side stereo decorrelation.
+    soundfile keeps priority in _decode_wav when importable (it never
+    reaches here); this is the fallback path. Returns the same feature
+    tuple as the WAV path."""
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    rate = nch = bps = None
+    total = 0
+    while True:  # metadata blocks
+        if pos + 4 > len(content):
+            raise ValueError("truncated FLAC metadata")
+        hdr = content[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + content[pos + 1 : pos + 4])
+        body = content[pos + 4 : pos + 4 + blen]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            rd = _FlacBitReader(body)
+            rd.take(16)  # min blocksize
+            rd.take(16)  # max blocksize
+            rd.take(24)
+            rd.take(24)
+            rate = rd.take(20)
+            nch = rd.take(3) + 1
+            bps = rd.take(5) + 1
+            total = rd.take(36)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if rate is None or not rate:
+        raise ValueError("FLAC missing STREAMINFO")
+    if bps != 16:
+        raise NotImplementedError(f"{bps}-bit FLAC not supported (stdlib decoder)")
+
+    channels: list[list[int]] = [[] for _ in range(nch)]
+    got = 0
+    while pos < len(content) and (not total or got < total):
+        rd = _FlacBitReader(content, pos * 8)
+        sync = rd.take(14)
+        if sync != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        rd.take(1)  # reserved
+        rd.take(1)  # blocking strategy
+        bs_code = rd.take(4)
+        sr_code = rd.take(4)
+        ch_code = rd.take(4)
+        ss_code = rd.take(3)
+        rd.take(1)  # reserved
+        _flac_utf8_number(rd)
+        if bs_code == 6:
+            n = rd.take(8) + 1
+        elif bs_code == 7:
+            n = rd.take(16) + 1
+        elif bs_code in _FLAC_BLOCKSIZES:
+            n = _FLAC_BLOCKSIZES[bs_code]
+        else:
+            raise ValueError(f"reserved FLAC blocksize code {bs_code}")
+        if sr_code == 12:
+            rd.take(8)
+        elif sr_code in (13, 14):
+            rd.take(16)
+        rd.take(8)  # CRC-8 (not verified — decode errors surface anyway)
+        if ss_code not in (0, 4):  # 0 = from STREAMINFO, 4 = 16-bit
+            raise NotImplementedError("non-16-bit FLAC frame")
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_flac_subframe(rd, n, 16) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise ValueError("FLAC stereo decorrelation on non-stereo stream")
+            # side channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(rd, n, 16)
+                side = _flac_subframe(rd, n, 17)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(rd, n, 17)
+                right = _flac_subframe(rd, n, 16)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(rd, n, 16)
+                side = _flac_subframe(rd, n, 17)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    mm = (m << 1) | (s & 1)
+                    subs[0].append((mm + s) >> 1)
+                    subs[1].append((mm - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        rd.align()
+        rd.take(16)  # CRC-16 (not verified)
+        for c in range(nch):
+            channels[c].extend(subs[c])
+        got += n
+        pos = rd.pos >> 3
+    if total and got > total:
+        for c in range(nch):
+            channels[c] = channels[c][:total]
+        got = total
+    if not got:
+        raise ValueError("FLAC stream has no frames")
+    arr = np.array(channels, dtype=np.float64).T / 32768.0
+    mono = arr.mean(axis=1)
+    return _audio_features(mono, nch, rate, got)
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
     """REAL WAV decode — PCM via the stdlib `wave` module, G.711 μ-law /
     A-law via spec expansion tables — no external libraries. Compressed
@@ -1181,6 +1591,10 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, float, float]:
     import io
     import wave
 
+    if content[:4] == b"fLaC":
+        # exact integer decode — identical features either way, so the
+        # stdlib path is used even when soundfile is importable
+        return _decode_flac(content)
     if content[:4] != b"RIFF":  # compressed container → optional seam
         if _soundfile is not None:
             data, rate = _soundfile.read(io.BytesIO(content), dtype="float64", always_2d=True)

@@ -641,3 +641,84 @@ def test_g711_wav_decode_and_quarantine(spark):
     assert out["pcm"]["error"] is None and out["pcm"]["duration_ms"] == 500
     assert out["mu"]["rms"] > 0 and 0 < out["mu"]["zcr"] < 1
     assert "not supported" in out["adpcm"]["error"]
+
+
+def test_flac_lossless_roundtrip_all_stereo_modes():
+    """encode_flac → _decode_flac reproduces the source signal features
+    EXACTLY (lossless) across independent/left-side/right-side/mid-side
+    and across frame-boundary-straddling lengths."""
+    import numpy as np
+
+    from cortex_spark.dataops.multimodal import _audio_features, _decode_wav, encode_flac
+
+    def source(n, rate, channels, seed):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n, dtype=np.float64)
+        sig = np.zeros((n, channels))
+        for c in range(channels):
+            freq = 200.0 + 40.0 * c + (seed % 7) * 15.0
+            w = 9000 * np.sin(2 * np.pi * freq * t / rate)
+            drift = np.cumsum(rng.integers(-60, 61, size=n))
+            sig[:, c] = np.clip(w + drift, -30000, 30000)
+        return sig.astype(np.int64)
+
+    for channels, stereo in ((1, "independent"), (2, "independent"),
+                             (2, "ls"), (2, "rs"), (2, "ms")):
+        for n in (1000, 1024, 3000):
+            b = encode_flac(n, rate=8000, channels=channels, seed=3, stereo=stereo)
+            got = _decode_wav(b)  # routes via the fLaC magic
+            mono = (source(n, 8000, channels, 3) / 32768.0).mean(axis=1)
+            exp = _audio_features(mono, channels, 8000, n)
+            assert got[:3] == exp[:3]
+            assert abs(got[3] - exp[3]) < 1e-15 and abs(got[4] - exp[4]) < 1e-15
+
+
+def test_flac_multibyte_frame_numbers_and_partitions():
+    """>127 frames exercises 2-byte UTF-8 coded frame numbers end-to-end;
+    a hand-built residual stream exercises partition order > 0 and the
+    5-bit escape code the fixture encoder never emits."""
+    from cortex_spark.dataops.multimodal import (
+        _decode_flac, _FlacBitReader, _FlacBitWriter, _flac_residual, encode_flac)
+
+    b = encode_flac(192 * 130, rate=8000, channels=1, seed=2, blocksize=192)
+    nch, rate, dur, rms, zcr = _decode_flac(b)
+    assert (nch, rate) == (1, 8000) and dur == int(round(192 * 130 * 1000 / 8000))
+
+    # handcrafted: n=8, pred_order=1, porder=1 → partitions of 4 (first has 3)
+    wr = _FlacBitWriter()
+    wr.put(0, 2)   # rice method 0
+    wr.put(1, 4)   # partition order 1
+    wr.put(0, 4)   # partition 1: rice param 0 → unary-only zigzags
+    for z in (1, 2, 3):  # values -1, 1, -2
+        for _ in range(z):
+            wr.put(0, 1)
+        wr.put(1, 1)
+    wr.put(15, 4)  # partition 2: escape code
+    wr.put(5, 5)   # 5-bit raw residuals
+    for v in (-5, 0, 7, -8):
+        wr.put(v & 0x1F, 5)
+    wr.align()
+    rd = _FlacBitReader(bytes(wr.buf))
+    out = _flac_residual(rd, 8, 1)
+    assert out == [-1, 1, -2, -5, 0, 7, -8]
+
+
+def test_flac_malformed_quarantines(spark):
+    """Truncation, bad sync, and 8-bit streams all quarantine; a good row
+    in the same batch survives."""
+    from cortex_spark.dataops.multimodal import decode_audio_features, encode_flac
+
+    good = encode_flac(1500, rate=8000, channels=2, seed=6, stereo="ms")
+    badsync = bytearray(good)
+    # flip the first frame's sync byte (frames start right after metadata)
+    i = good.index(b"\xff", 4)
+    badsync[i] = 0x00
+    df = _media_df(spark, [
+        ("trunc", "audio", good[: len(good) - 7], ("audio/flac", None, None, None, None)),
+        ("sync", "audio", bytes(badsync), ("audio/flac", None, None, None, None)),
+        ("good", "audio", good, ("audio/flac", None, None, None, None)),
+    ])
+    out = {r["media_id"]: r for r in decode_audio_features(df).collect()}
+    assert out["good"]["error"] is None and out["good"]["channels"] == 2
+    assert out["trunc"]["error"] is not None
+    assert out["sync"]["error"] is not None
