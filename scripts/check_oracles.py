@@ -39,6 +39,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main(sf_dir: str) -> int:
+    # NB: briefing / kg_triples / codec-feature goldens are PINNED to the
+    # driver's correctness SF (0.01) — running this sweep at another SF
+    # fails exactly those queries with a stale-looking hash mismatch.
+    print(f"# oracle sweep over {sf_dir}")
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -81,4 +85,4 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
