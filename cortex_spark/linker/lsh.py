@@ -67,8 +67,9 @@ def choose_lsh_params(
 
     Past the clamp the historical formula froze rows, so the mean bucket
     grew linearly with n: per-row GEMM cost ∝ bucket ⇒ O(n²) total wall
-    (measured: 256k-page leg ≈ 2× the per-row link cost of the 64k leg,
-    BASELINE.md §Round-4), and once buckets cross max_bucket the hot-bucket
+    (the frozen-params 256k A/B leg ran ~1.5× the 64k leg's per-node link
+    cost, host-confounded — BASELINE.md §Round-4; the growth is linear in
+    n by construction), and once buckets cross max_bucket the hot-bucket
     cap truncates EVERY bucket — silent recall collapse in the 10⁹-row
     regime. Instead hold the bucket at ~target_bucket by taking more rows
     per band, and hold the band-union recall at its clamp-point value by
