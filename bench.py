@@ -173,6 +173,10 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
     from bench_scaling import one_run
 
     lo, hi = pair
+    probe_before = host_probe(8)  # bound the legs with health fingerprints:
+    # the committed healthy-host standard is 0.832 at 64k pages (BASELINE.md
+    # §Round-3); 16k pages on a degraded box under-reads efficiency, and the
+    # probes let a reader tell engine regression from host weather.
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for cpus in (hi, lo, lo, hi):  # ABBA
         runs[cpus].append(one_run(cpus, n_pages))
@@ -186,6 +190,7 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
         "low": low,
         "high": high,
         "efficiency": round(eff, 3),
+        "host_gemms_per_sec": [probe_before, host_probe(8)],
     }
 
 
