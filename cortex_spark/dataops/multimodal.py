@@ -344,6 +344,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     bitpos = 0
     total_bits = len(data) * 8
     while True:
+        if len(out) >= expected:
+            # all pixels decoded: real-world encoders may rely on the
+            # sub-block terminator and omit the explicit EOI code — treat
+            # reaching the descriptor's pixel count as end-of-stream
+            break
         if bitpos + width > total_bits:
             raise ValueError("truncated GIF LZW stream (no EOI)")
         byte_i = bitpos >> 3
@@ -906,6 +911,12 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns != len(frame["comps"]):
+                # conforming non-interleaved (per-component-scan) baseline
+                # JPEG: decoding only the first scan would return a wrong
+                # grayscale raster — quarantine like progressive instead
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG not supported (stdlib decoder)")
             scan = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]
@@ -1726,10 +1737,15 @@ def _parse_avi_mjpeg(content: bytes):
         raise ValueError("not an AVI")
     fps_num, fps_den = 25, 1
     frames: list[bytes] = []
-    in_vids = False
+    # AVI streams are numbered by strl order; a movi chunk's two-digit
+    # prefix is that stream number. Track which stream is the (first)
+    # 'vids' one and collect ONLY its chunks — a second video stream or a
+    # non-video '01dc' must not merge foreign frames into the sequence.
+    n_streams = 0
+    vids_stream: int | None = None
 
     def walk(pos: int, end: int) -> None:
-        nonlocal fps_num, fps_den, in_vids
+        nonlocal fps_num, fps_den, n_streams, vids_stream
         while pos + 8 <= end:
             fourcc = content[pos : pos + 4]
             (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -1740,12 +1756,18 @@ def _parse_avi_mjpeg(content: bytes):
                 walk(pos + 12, data_end)
             elif fourcc == b"strh":
                 body = content[pos + 8 : data_end]
-                in_vids = body[:4] == b"vids"
-                if in_vids:
+                if body[:4] == b"vids" and vids_stream is None:
+                    vids_stream = n_streams
                     scale, rate = struct.unpack("<II", body[20:28])
                     if rate:
                         fps_num, fps_den = rate, max(scale, 1)
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                n_streams += 1
+            elif (
+                fourcc[2:4] in (b"dc", b"db")
+                and fourcc[:2].isdigit()
+                and vids_stream is not None
+                and int(fourcc[:2]) == vids_stream
+            ):
                 frames.append(content[pos + 8 : data_end])
             pos = data_end + (size & 1)  # chunks are word-aligned
 

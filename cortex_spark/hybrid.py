@@ -58,7 +58,22 @@ def vector_search(
     signature index — the scan partition-prunes to the query's buckets."""
     df = nodes.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(F.col("embedding").isNotNull())
     if index is not None and use_index is None:
-        use_index = df.limit(INDEX_ABOVE_CORPUS + 1).count() > INDEX_ABOVE_CORPUS
+        # Path pick is driver-side metadata, not a Spark job: the index meta
+        # carries a corpus-size hint (rows_indexed, maintained by append/
+        # compact), so interactive queries don't launch a limit+count job
+        # just to choose brute-vs-index. Falls back to the bounded count
+        # only for hint-less (pre-hint / hand-built) indexes.
+        hint = None
+        meta_fn = getattr(index, "meta", None)
+        if callable(meta_fn):
+            try:
+                hint = (meta_fn() or {}).get("rows_indexed")
+            except Exception:
+                hint = None
+        if hint:
+            use_index = int(hint) > INDEX_ABOVE_CORPUS
+        else:
+            use_index = df.limit(INDEX_ABOVE_CORPUS + 1).count() > INDEX_ABOVE_CORPUS
     if index is not None and use_index:
         return _vector_search_indexed(
             df, index, query_text, k, embed_dim, embed_seed, kinds, exclude_ids, source_agent

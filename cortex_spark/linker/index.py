@@ -215,8 +215,16 @@ class LshIndexStore:
         kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         out = self.spark.read.parquet(tmp)
         n = out.count()
+        n_nodes = out.select("node_id").distinct().count()
         out.write.mode("overwrite").partitionBy("bucket").parquet(self.data_dir)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        # refresh the corpus-size hint: after compaction rows_indexed counts
+        # surviving distinct nodes, not the append history (hybrid.vector_search
+        # reads this driver-side to pick brute-vs-index without a count job)
+        meta = self.meta()
+        meta["rows_indexed"] = n_nodes
+        meta["compacted"] = True
+        self._write_meta(meta)
         return n

@@ -57,6 +57,11 @@ def one_run(cpus: int, n_pages: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"scaling leg (cpus={cpus}, pages={n_pages}) failed rc={out.returncode}: "
+            + (out.stderr or "")[-2000:]
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

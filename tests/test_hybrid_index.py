@@ -75,6 +75,51 @@ def test_index_present_but_small_corpus_stays_exact(spark, corpus):
     assert auto == no_idx
 
 
+def test_auto_switch_reads_meta_hint_without_count_job(spark, corpus, monkeypatch):
+    """Round-5 task: path pick is driver-side metadata. With a corpus-size
+    hint in the index meta, vector_search must NOT launch the bounded
+    limit+count job — we pin that by making DataFrame.count raise during
+    plan construction. A large hint routes to the index (a live node absent
+    from the index can't appear); a small hint keeps the exact scan."""
+    import pyspark.sql as pysql
+
+    nodes, store = corpus
+    # a live node the index has never seen, placed exactly at the query
+    # vector so the brute path must rank it #1
+    q = encode_py(QUERY, DIM, 42)
+    extra = spark.createDataFrame(
+        [make_node("zz_unindexed", embedding=[float(x) for x in q])],
+        nodes.schema,
+    )
+    live = nodes.unionByName(extra)
+
+    real_count = pysql.DataFrame.count
+
+    def boom(self):
+        raise AssertionError("path selection launched a count job")
+
+    # large hint ⇒ indexed path, no count job during construction
+    meta = store.meta()
+    meta["rows_indexed"] = 20_000
+    store._write_meta(meta)
+    monkeypatch.setattr(pysql.DataFrame, "count", boom)
+    served = vector_search(live, QUERY, k=10, embed_dim=DIM, index=store)
+    monkeypatch.setattr(pysql.DataFrame, "count", real_count)
+    got = [r["node_id"] for r in served.collect()]
+    assert "zz_unindexed" not in got  # index-served: unindexed node invisible
+
+    # small hint ⇒ exact scan (still no count job), unindexed node visible
+    meta["rows_indexed"] = 301
+    store._write_meta(meta)
+    monkeypatch.setattr(pysql.DataFrame, "count", boom)
+    brute = vector_search(live, QUERY, k=10, embed_dim=DIM, index=store)
+    monkeypatch.setattr(pysql.DataFrame, "count", real_count)
+    assert [r["node_id"] for r in brute.collect()][0] == "zz_unindexed"
+    # restore the real meta for the other module-scoped tests
+    meta["rows_indexed"] = 300
+    store._write_meta(meta)
+
+
 def test_index_search_applies_filters_and_tombstones(spark, corpus):
     nodes, store = corpus
     # tombstone + exclude the two top brute hits; the served path must not

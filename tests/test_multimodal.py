@@ -722,3 +722,73 @@ def test_flac_malformed_quarantines(spark):
     assert out["good"]["error"] is None and out["good"]["channels"] == 2
     assert out["trunc"]["error"] is not None
     assert out["sync"]["error"] is not None
+
+
+def test_gif_lzw_missing_eoi_decodes_when_pixels_complete():
+    """Round-5 ADVICE fix: encoders that rely on the sub-block terminator
+    and omit the explicit EOI code must still decode once the descriptor's
+    pixel count is reached — not quarantine as 'truncated'."""
+    from cortex_spark.dataops.multimodal import _gif_lzw_decode
+
+    # hand-packed LZW stream, min_code_size=2 (clear=4, eoi=5, width=3):
+    # CLEAR then six root codes (pixels 0..3,2,1) and NO EOI
+    codes = [4, 0, 1, 2, 3, 2, 1]
+    widths = [3, 3, 3, 3, 4, 4, 4]  # table hits 8 entries after code '2'
+    acc = bitpos = 0
+    buf = bytearray()
+    for c, w in zip(codes, widths):
+        acc |= c << bitpos
+        bitpos += w
+        while bitpos >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+    if bitpos:
+        buf.append(acc & 0xFF)
+    out = _gif_lzw_decode(bytes(buf), 2, expected=6)
+    assert out == bytes([0, 1, 2, 3, 2, 1])
+    # a genuinely short stream still raises
+    with pytest.raises(ValueError):
+        _gif_lzw_decode(bytes(buf)[:1], 2, expected=6)
+
+
+def test_jpeg_noninterleaved_scan_quarantines():
+    """Round-5 ADVICE fix: a baseline JPEG encoded as per-component scans
+    (SOS ns != SOF component count) must quarantine, not return a wrong
+    grayscale raster from the first scan only."""
+    import struct
+
+    from cortex_spark.dataops.multimodal import _decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(16, 16, channels=3, seed=3)
+    i = good.index(b"\xff\xda")
+    # original SOS payload: len(2) ns=3 (c,t)*3 ss se ahal → rewrite as ns=1
+    payload = good[i + 2 :]
+    new_sos = struct.pack(">H", 8) + b"\x01" + payload[3:5] + payload[9:12]
+    patched = good[: i + 2] + new_sos + payload[12:]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        _decode_jpeg(patched)
+    w, h, c, _ = _decode_jpeg(good)  # unpatched still decodes
+    assert (w, h, c) == (16, 16, 3)
+
+
+def test_avi_ignores_foreign_stream_chunks():
+    """Round-5 ADVICE fix: movi chunks from a stream number other than the
+    'vids' stream ('01dc' here — e.g. a second video or data stream) must
+    not merge into the decoded frame sequence."""
+    import struct
+
+    from cortex_spark.dataops.multimodal import _parse_avi_mjpeg, encode_avi_mjpeg, encode_jpeg
+
+    avi = encode_avi_mjpeg(16, 16, n_frames=2, fps=10, seed=1)
+    # a foreign 8x8 frame: pre-fix this either merged or raised 'size changed'
+    junk = encode_jpeg(8, 8, channels=1, seed=9)
+    foreign = b"01dc" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
+    movi_at = avi.rindex(b"movi") - 8  # its LIST header
+    (movi_size,) = struct.unpack("<I", avi[movi_at + 4 : movi_at + 8])
+    patched = bytearray(avi + foreign)
+    patched[movi_at + 4 : movi_at + 8] = struct.pack("<I", movi_size + len(foreign))
+    patched[4:8] = struct.pack("<I", struct.unpack("<I", avi[4:8])[0] + len(foreign))
+    w, h, fn, fd, lumas = _parse_avi_mjpeg(bytes(patched))
+    assert (w, h, fn, fd) == (16, 16, 10, 1)
+    assert len(lumas) == 2 and all(l.shape == (16, 16) for l in lumas)
