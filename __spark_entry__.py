@@ -12,6 +12,8 @@ values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from datetime import datetime, timezone
 
@@ -1984,79 +1986,76 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_autolink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship STREAMING composition end-to-end through the REAL
+    stream_autolink job (streaming/autolink.py): JSONL event stream →
+    warren node templating (9 templates, in-batch + cross-batch dedup) →
+    hashing embeddings → persisted-LSH-index incremental link cycle
+    (pipeline/incremental.run_cycle: cursor, index append+probe, rule
+    cascade, first-rule-wins, per-node cap) → edge appends. TWO availableNow
+    runs over the shared deterministic fixture (streaming/fixture.py —
+    batch 2 lands 2 h after batch 1, so run 2 is a genuine incremental
+    cycle: cursor-fresh nodes probing the ACCUMULATED index, anti-joining
+    run 1's edges). Hash-checked against a golden materialized by the
+    independent pure-Python oracle (scripts/make_streaming_golden.py — the
+    python kernels + the validated cascade transliteration, no Spark/
+    Structured Streaming/index store). Golden pinned to sf0.01.
+    max_edges_per_node=6 keeps each cycle under the per-cycle cap's tie
+    boundary and exercises W7."""
+    import tempfile
+
+    from cortex_spark.linker.rules import LinkerConfig
+    from cortex_spark.streaming.autolink import stream_autolink
+    from cortex_spark.streaming.fixture import warren_event_lines
+
+    work = tempfile.mkdtemp(prefix="cortex_stream_autolink_")
+    src, out = f"{work}/src", f"{work}/out"
+    os.makedirs(src, exist_ok=True)
+    b1, b2 = warren_event_lines(sf_dir)
+    cfg = LinkerConfig(max_edges_per_node=6)
+    # one file per run ⇒ one micro-batch per run ⇒ deterministic batches
+    with open(f"{src}/batch1.jsonl", "w") as f:
+        f.write("\n".join(b1) + "\n")
+    stream_autolink(spark, src, out, config=cfg).awaitTermination()
+    with open(f"{src}/batch2.jsonl", "w") as f:
+        f.write("\n".join(b2) + "\n")
+    stream_autolink(spark, src, out, config=cfg).awaitTermination()
+    return spark.read.parquet(f"{out}/edges").select(
+        "src", "dst", "relation", F.round(F.col("weight"), 6).alias("weight")
+    )
+
+
+def _streaming_autolink_sql() -> str:
+    """Golden VALUES oracle for the streaming composition (see
+    q_streaming_autolink); materialized by scripts/make_streaming_golden.py."""
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens", "streaming_autolink_sf0_01.json")
+    golden = _json.load(open(path))
+    vals = ",\n".join(
+        "('{}', '{}', '{}', {})".format(s, d, r, w) for s, d, r, w in golden["triples"]
+    )
+    return (
+        "SELECT src, dst, relation, CAST(weight AS DOUBLE) AS weight "
+        "FROM (VALUES\n" + vals + "\n) AS t(src, dst, relation, weight)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness gate covers the FIRST
     # 50 entries, and the window ROTATES each round so no query's driver
-    # evidence goes more than ~one round stale. Round-4 window: the 16
-    # entries past round 3's window (all driver-green in CORRECTNESS_r02)
-    # rotate IN, plus the seven new round-4 queries (streaming_counts,
-    # png_features, gif_features, jpeg_features, avi_frames, g711_features,
-    # flac_features); 23 round-3-green redundant slices rotate OUT (each
-    # displaced entry's family keeps a stronger in-window oracle — e.g.
-    # write_gate/vocab_check→gate_full, chunk_plain→chunk_markdown,
-    # reinforce→reinforce_edges, ann_topk→ann_lsh/ann_ivf,
-    # first_rule_wins→rule_cascade, node_filter→dsl_filter,
-    # kind_histogram→text_profile/stats family,
-    # exact_dedup/minhash_signature→simhash/neardup/ngram family,
-    # multimodal_decode→png/gif/jpeg_features, which exercise the same
-    # decode_and_featurize plumbing through real compressed codecs).
-    # Union of CORRECTNESS_r04 ∪ r03 covers all 73 queries.
+    # evidence goes more than ~one round stale. Round-5 window: the 23
+    # entries past round 4's window (all driver-green in CORRECTNESS_r03)
+    # rotate IN, plus the new round-5 streaming_autolink; 24 round-4-green
+    # entries rotate OUT (each displaced entry's family keeps a stronger
+    # in-window oracle — e.g. video_frames→avi_frames, simhash→the dedup
+    # family rotating in, prompt_heads→prompt_scoring, decay/retention/
+    # eviction→score_decay + the r04 record, flac_features→g711_features
+    # through the same audio plumbing). Union of CORRECTNESS_r05 ∪ r04
+    # covers all 74 queries with nothing older than one round.
     return {
         # ── rotated IN: driver evidence refreshed this round ──
-        "topk_per_group": q_topk_per_group,
-        "sessionize": q_sessionize,
-        "decision_to_event": q_decision_to_event,
-        "temporal_pairs": q_temporal_pairs,
-        "chunk_markdown": q_chunk_markdown,
-        "neighbors": q_neighbors,
-        "reinforce_edges": q_reinforce_edges,
-        "threshold_search": q_threshold_search,
-        "mentions_tags": q_mentions_tags,
-        "video_frames": q_video_frames,
-        "embed_input": q_embed_input,
-        "shortest_path": q_shortest_path,
-        "cyclic_nodes": q_cyclic_nodes,
-        "subgraph_merge": q_subgraph_merge,
-        "decay": q_decay,
-        "graph_roots_leaves": q_graph_roots_leaves,
-        # ── new this round ──
-        "streaming_counts": q_streaming_counts,
-        "png_features": q_png_features,
-        "gif_features": q_gif_features,
-        "jpeg_features": q_jpeg_features,
-        "avi_frames": q_avi_frames,
-        "g711_features": q_g711_features,
-        "flac_features": q_flac_features,
-        # ── kept in-window: flagship / strongest oracle per family ──
-        "cc": q_cc,
-        "gate_full": q_gate_full,
-        "topo_layers": q_topo_layers,
-        "dijkstra_costs": q_dijkstra_costs,
-        "retention": q_retention,
-        "eviction": q_eviction,
-        "decay_shielded": q_decay_shielded,
-        "merge_semantics": q_merge_semantics,
-        "briefing": q_briefing,
-        "prompt_heads": q_prompt_heads,
-        "hybrid_blend": q_hybrid_blend,
-        "simhash": q_simhash,
-        "kg_triples": q_kg_triples,
-        "extract_text": q_extract_text,
-        "classify": q_classify,
-        "text_profile": q_text_profile,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "rule_cascade": q_rule_cascade,
-        "config_rules": q_config_rules,
-        "dedup_actions": q_dedup_actions,
-        "hybrid_full": q_hybrid_full,
-        "cursor_batch": q_cursor_batch,
-        "import_export": q_import_export,
-        "dfs_order": q_dfs_order,
-        "bfs_depths": q_bfs_depths,
-        "dsl_filter": q_dsl_filter,
-        # ── past the 50-query window: redundant slices, all driver-green
-        # in CORRECTNESS_r03 (≤1 round stale) ──
         "kind_histogram": q_kind_histogram,
         "multimodal_decode": q_multimodal_decode,
         "exact_dedup": q_exact_dedup,
@@ -2080,6 +2079,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_check": q_vocab_check,
         "audio_features": q_audio_features,
         "node_filter": q_node_filter,
+        # ── new this round: the flagship streaming composition e2e ──
+        "streaming_autolink": q_streaming_autolink,
+        # ── kept in-window: flagship / strongest oracle per family ──
+        "kg_triples": q_kg_triples,
+        "briefing": q_briefing,
+        "cc": q_cc,
+        "gate_full": q_gate_full,
+        "rule_cascade": q_rule_cascade,
+        "config_rules": q_config_rules,
+        "hybrid_full": q_hybrid_full,
+        "hybrid_blend": q_hybrid_blend,
+        "merge_semantics": q_merge_semantics,
+        "dedup_actions": q_dedup_actions,
+        "extract_text": q_extract_text,
+        "classify": q_classify,
+        "text_profile": q_text_profile,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "cursor_batch": q_cursor_batch,
+        "import_export": q_import_export,
+        "dfs_order": q_dfs_order,
+        "bfs_depths": q_bfs_depths,
+        "dsl_filter": q_dsl_filter,
+        "streaming_counts": q_streaming_counts,
+        "png_features": q_png_features,
+        "gif_features": q_gif_features,
+        "jpeg_features": q_jpeg_features,
+        "avi_frames": q_avi_frames,
+        "g711_features": q_g711_features,
+        # ── past the 50-query window: redundant slices, all driver-green
+        # in CORRECTNESS_r04 (≤1 round stale) ──
+        "flac_features": q_flac_features,
+        "video_frames": q_video_frames,
+        "simhash": q_simhash,
+        "prompt_heads": q_prompt_heads,
+        "topo_layers": q_topo_layers,
+        "dijkstra_costs": q_dijkstra_costs,
+        "retention": q_retention,
+        "eviction": q_eviction,
+        "decay_shielded": q_decay_shielded,
+        "decay": q_decay,
+        "graph_roots_leaves": q_graph_roots_leaves,
+        "subgraph_merge": q_subgraph_merge,
+        "cyclic_nodes": q_cyclic_nodes,
+        "shortest_path": q_shortest_path,
+        "embed_input": q_embed_input,
+        "mentions_tags": q_mentions_tags,
+        "threshold_search": q_threshold_search,
+        "reinforce_edges": q_reinforce_edges,
+        "neighbors": q_neighbors,
+        "chunk_markdown": q_chunk_markdown,
+        "temporal_pairs": q_temporal_pairs,
+        "decision_to_event": q_decision_to_event,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
     }
 
 
@@ -2791,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": _ann_lsh_sql(),
         "kg_triples": _kg_triples_sql(),
+        "streaming_autolink": _streaming_autolink_sql(),
         "briefing": _briefing_sql(),
         "multimodal_decode": _multimodal_sql(),
         "png_features": _png_sql(),

@@ -160,6 +160,14 @@ def run_bench(sf_dir: str, cpus: int, pages_n: int | None = None) -> dict:
     }
 
 
+# Host-health floor for the scaling leg (GEMMs/s at 8 procs). A healthy box
+# reads ≈1800; the round-4 artifact that under-read efficiency (0.636) was
+# taken at 340/529 — deep in the degraded band this VM visits (94-680,
+# hypervisor weather). Numbers bounded by probes ≥ the floor have matched
+# the in-suite guardrail (0.83+) every time they've been taken.
+SCALE_HEALTH_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_HEALTH_MIN", "1050"))
+
+
 def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
     """North-rule evidence, embedded in every BENCH JSON: the SAME KG job on
     the SAME input at two parallelism levels (fresh subprocess per leg — a
@@ -168,29 +176,59 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
     with min-of-two per level: this VM's run-to-run swing is 1.5-2× at
     identical code (BASELINE.md methodology). The 2→8 pair is the one this
     host can serve — aggregate memory bandwidth DROPS past ~8 cores
-    (BASELINE.md §Why), so 8→32 measures the host, not the engine."""
+    (BASELINE.md §Why), so 8→32 measures the host, not the engine.
+
+    HEALTH-GATED WRITING (round-5): an efficiency number bounded by degraded
+    probes is host noise, not engine evidence — the run defers while the
+    before-probe is under SCALE_HEALTH_MIN, and a completed measurement
+    whose bounding probes don't BOTH clear the floor is returned with
+    `healthy: false` so main() records it as a note, NOT as the `scaling`
+    key. Every attempt (deferrals included) is preserved in `attempts`."""
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from bench_scaling import one_run
 
     lo, hi = pair
-    probe_before = host_probe(8)  # bound the legs with health fingerprints:
-    # the committed healthy-host standard is 0.832 at 64k pages (BASELINE.md
-    # §Round-3); 16k pages on a degraded box under-reads efficiency, and the
-    # probes let a reader tell engine regression from host weather.
-    runs: dict[int, list[dict]] = {lo: [], hi: []}
-    for cpus in (hi, lo, lo, hi):  # ABBA
-        runs[cpus].append(one_run(cpus, n_pages))
-        time.sleep(20)
-    low = min(runs[lo], key=lambda r: r["secs"])
-    high = min(runs[hi], key=lambda r: r["secs"])
-    eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (hi / lo)
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+    attempts: list[dict] = []
+    for _ in range(max_attempts):
+        probe_before = host_probe(8)
+        if probe_before < SCALE_HEALTH_MIN:
+            attempts.append({"deferred_probe": probe_before})
+            time.sleep(90)  # wait out the weather, then re-probe
+            continue
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        try:
+            for cpus in (hi, lo, lo, hi):  # ABBA
+                runs[cpus].append(one_run(cpus, n_pages))
+                time.sleep(20)
+        except Exception as exc:  # a crashed leg degrades to a note
+            attempts.append({"error": str(exc)[-600:]})
+            continue
+        probe_after = host_probe(8)
+        low = min(runs[lo], key=lambda r: r["secs"])
+        high = min(runs[hi], key=lambda r: r["secs"])
+        eff = (high["triples_per_sec"] / low["triples_per_sec"]) / (hi / lo)
+        rec = {
+            "n_pages": n_pages,
+            "pair": [lo, hi],
+            "low": low,
+            "high": high,
+            "all_secs": {str(k): [r["secs"] for r in v] for k, v in runs.items()},
+            "efficiency": round(eff, 3),
+            "host_gemms_per_sec": [probe_before, probe_after],
+            "health_floor": SCALE_HEALTH_MIN,
+            "healthy": min(probe_before, probe_after) >= SCALE_HEALTH_MIN,
+        }
+        attempts.append(rec)
+        if rec["healthy"]:
+            rec["attempts"] = attempts[:-1]  # deferral/unhealthy history
+            return rec
     return {
         "n_pages": n_pages,
         "pair": [lo, hi],
-        "low": low,
-        "high": high,
-        "efficiency": round(eff, 3),
-        "host_gemms_per_sec": [probe_before, host_probe(8)],
+        "healthy": False,
+        "health_floor": SCALE_HEALTH_MIN,
+        "attempts": attempts,
     }
 
 
@@ -199,9 +237,19 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     out = run_bench(sf_dir, cpus)
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
-        out["scaling"] = run_scaling(
-            int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PAGES", "16000"))
-        )
+        try:
+            sc = run_scaling(int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PAGES", "16000")))
+        except Exception as exc:
+            sc = {"healthy": False, "error": str(exc)[-600:]}
+        if sc.get("healthy"):
+            out["scaling"] = sc
+        else:
+            # gate the WRITING: a number bounded by sick probes is weather,
+            # not evidence — record what happened without claiming it
+            out["scaling_note"] = {
+                "skipped": "host below health floor for all attempts",
+                **sc,
+            }
     print(json.dumps(out))
 
 
