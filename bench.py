@@ -238,7 +238,7 @@ def main() -> None:
     out = run_bench(sf_dir, cpus)
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         try:
-            sc = run_scaling(int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PAGES", "16000")))
+            sc = run_scaling(int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_PAGES", "64000")))
         except Exception as exc:
             sc = {"healthy": False, "error": str(exc)[-600:]}
         if sc.get("healthy"):

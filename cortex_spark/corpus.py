@@ -127,11 +127,23 @@ def render_html(text: str, lang: str, url: str) -> bytes:
     return doc.encode("utf-8")
 
 
-def gen_row(seed: int, i: int) -> dict:
+def gen_row(seed: int, i: int, skew: bool = False) -> dict:
+    """`skew=True` cranks the corpus to crawl-shaped pathology (round-5
+    stretch leg): every 3rd page is a near-duplicate of one of 100
+    boilerplate base pages (the real-web template/mirror regime — giant
+    near-dup clusters ⇒ hot LSH buckets and heavy dedup components) and
+    head domains draw from Zipf(2.0) (top domain ≈60% of rows) instead of
+    the default Zipf(1.4). Default False is bit-identical to round ≤4."""
     rng = _rng(seed, i)
     lang = str(_LANGS[int(rng.integers(0, len(_LANGS)))])
     text = gen_text(seed, i)
+    if skew and i % 3 == 0 and i >= 100:
+        # boilerplate mirror: base page body + a tiny per-page line
+        text = gen_text(seed, i % 100) + f"\nmirror variant {i}."
     domain = _domain(rng)
+    if skew:
+        d = min(int(rng.zipf(2.0)) - 1, N_DOMAINS - 1)
+        domain = f"site{d:02d}.example.com"
     url = f"https://{domain}/page/{i}"
     cluster = i // CLUSTER_SIZE
     center = BASE_TS + timedelta(seconds=int(_rng(seed, 10_000_000 + cluster).integers(0, 90 * 86400)))
@@ -145,13 +157,16 @@ def gen_row(seed: int, i: int) -> dict:
     }
 
 
-def synth_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synth_pages(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None,
+    skew: bool = False,
+) -> DataFrame:
     """Distributed deterministic corpus: spark.range(n) → mapInPandas."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_row(seed, int(i)) for i in pdf["id"]]
+            rows = [gen_row(seed, int(i), skew) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(build, schema=PAGES)

@@ -55,6 +55,7 @@ class LshIndexStore:
         n_planes: int = 16,
         bands: int = 8,
         seed: int = 7,
+        center: list[float] | None = None,
     ) -> None:
         self.path = path
         self.spark = spark
@@ -62,6 +63,10 @@ class LshIndexStore:
         self.n_planes = n_planes
         self.bands = bands
         self.seed = seed
+        # optional signature centroid for anisotropic (real-encoder)
+        # corpora — persisted with the params so every probe/append uses
+        # the exact centroid the index was built with (see band_sig_udf)
+        self.center = list(center) if center is not None else None
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_index_meta.json")
 
@@ -79,6 +84,7 @@ class LshIndexStore:
         return cls(
             path, spark, dim=params["dim"], n_planes=params["n_planes"],
             bands=params["bands"], seed=params["seed"],
+            center=params.get("center"),
         )
 
     # -- bookkeeping ---------------------------------------------------------
@@ -100,7 +106,10 @@ class LshIndexStore:
     # -- signature computation (fresh side only) ------------------------------
 
     def _sigs(self, nodes: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        with_sigs = add_lsh_bands(nodes, vec_col, self.dim, self.n_planes, self.bands, self.seed)
+        with_sigs = add_lsh_bands(
+            nodes, vec_col, self.dim, self.n_planes, self.bands, self.seed,
+            center=self.center,
+        )
         return with_sigs.select(
             F.col(id_col).alias("node_id"),
             F.col(vec_col).alias("vec"),
@@ -125,6 +134,7 @@ class LshIndexStore:
         meta["appends"] = meta.get("appends", []) + [n]
         meta["params"] = {
             "dim": self.dim, "n_planes": self.n_planes, "bands": self.bands, "seed": self.seed,
+            "center": self.center,
         }
         self._write_meta(meta)
         return n

@@ -105,14 +105,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def band_sig_udf(dim: int, n_planes: int = DEFAULT_PLANES, bands: int = DEFAULT_BANDS, seed: int = DEFAULT_SEED):
+def band_sig_udf(
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    center=None,
+):
     """pandas UDF: embedding array<float> → array<long> of per-band signatures.
 
     Each signature packs the band's sign bits plus the band index in the high
     bits, so a single `(sig)` join key suffices after explode.
+
+    `center` (optional array<double>, length dim): subtracted before the
+    sign computation, i.e. the hyperplanes pass through the data centroid
+    instead of the origin. Real transformer encoders are ANISOTROPIC (mean
+    pairwise cosine ≈ 0.7 measured on the in-repo mini-transformer — the
+    same shell concentration bge/MiniLM-class models show): origin-anchored
+    sign bits then correlate across the corpus, hot buckets blow through
+    max_bucket and the cap silently truncates recall. Centering restores
+    the isotropic bucket model (measured: max bucket 1859→485, mean exactly
+    n/2^rows, capped recall 0.96→0.9997 at n=2k — tests/
+    test_transformer_geometry.py pins this). Candidates are still rescored
+    with EXACT cosine on the raw vectors, so centering only changes which
+    pairs become candidates, per the centered-angle collision model.
+    Default None keeps every committed oracle/golden bit-identical; pass a
+    centroid (or candidate_topk(center="auto")) for real-encoder corpora.
     """
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
+    mu = None if center is None else np.asarray(center, dtype=np.float64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(emb: pd.Series) -> pd.Series:
@@ -123,6 +145,8 @@ def band_sig_udf(dim: int, n_planes: int = DEFAULT_PLANES, bands: int = DEFAULT_
         out[~mask] = None
         if mask.any():
             X = np.stack([np.asarray(v, dtype=np.float64) for v in emb[mask]])
+            if mu is not None:
+                X = X - mu
             bits = (X @ planes.T) > 0  # (n, n_planes)
             weights = (1 << np.arange(rows - 1, -1, -1)).astype(np.int64)
             sigs = bits.reshape(len(X), bands, rows).astype(np.int64) @ weights
@@ -143,12 +167,30 @@ def add_lsh_bands(
     n_planes: int = DEFAULT_PLANES,
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
+    center=None,
 ) -> DataFrame:
     if dim is None:
         first = nodes.select(F.size(vec_col).alias("d")).filter("d is not null").first()
         dim = int(first["d"]) if first else 384
-    sig = band_sig_udf(dim, n_planes, bands, seed)
+    sig = band_sig_udf(dim, n_planes, bands, seed, center=center)
     return nodes.withColumn("lsh_sigs", sig(F.col(vec_col)))
+
+
+def corpus_centroid(nodes: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Exact per-dimension mean of the embedding column — the centroid for
+    centered LSH signatures (see band_sig_udf). One narrow posexplode+avg
+    job over (vec) only; at 10⁹+ rows substitute a fixed-seed sample. The
+    float sum is shuffle-order dependent in the last ulp, which moves a
+    sign bit only for a vector lying within ~1e-12 of a hyperplane — and
+    candidates are exact-rescored anyway."""
+    rows = (
+        nodes.select(F.posexplode(F.col(vec_col)).alias("p", "v"))
+        .groupBy("p")
+        .agg(F.avg("v").alias("c"))
+        .orderBy("p")
+        .collect()
+    )
+    return [float(r["c"]) for r in rows]
 
 
 def candidate_pairs(
@@ -160,13 +202,16 @@ def candidate_pairs(
     seed: int = DEFAULT_SEED,
     max_bucket: int = DEFAULT_MAX_BUCKET,
     dim: int | None = None,
+    center=None,
 ) -> DataFrame:
     """Canonical candidate pairs (a_id < b_id) with exact cosine score.
 
     Output: (a_id, b_id, score). The caller joins node attributes back —
     keeping this frame narrow minimizes the shuffle (ids + score only).
     """
-    with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
+    if isinstance(center, str) and center == "auto":
+        center = corpus_centroid(nodes, vec_col)
+    with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed, center=center)
     # shuffle ids only — vectors are re-attached after pair dedup, so the
     # bucket self-join and dropDuplicates move 2 strings, not 2×dim floats
     sigs = (
@@ -210,6 +255,7 @@ def candidate_topk(
     id_strategy: str = "auto",
     rows_cap: int = 10,
     design_sim: float = 0.75,
+    center=None,
     _hash_fn=None,
 ) -> DataFrame:
     """Per-node top-k neighbors via bucketed GEMM — the scale path for the
@@ -224,9 +270,17 @@ def candidate_topk(
 
     Hot buckets are truncated at max_bucket (GEMM stays ≤ max_bucket² ops);
     AQE skew-join handles residual bucket skew.
+
+    `center="auto"` computes the corpus centroid (one narrow job) and
+    anchors the signature hyperplanes there — required for anisotropic
+    real-encoder embeddings (see band_sig_udf); pass a precomputed centroid
+    to skip the job, or None (default) for the origin-anchored scheme every
+    committed oracle pins.
     """
     import pandas as pd
 
+    if isinstance(center, str) and center == "auto":
+        center = corpus_centroid(nodes, vec_col)
     if dim is None:
         first = nodes.select(F.size(vec_col).alias("d")).filter("d is not null").first()
         dim = int(first["d"]) if first else 384
@@ -276,10 +330,10 @@ def candidate_topk(
         id_map = base.select("sid", "nid")
         if n is None:
             n = base.count()  # cheap: counts the checkpointed blocks
-        with_sigs = add_lsh_bands(base, "vec", dim, n_planes, bands, seed)
+        with_sigs = add_lsh_bands(base, "vec", dim, n_planes, bands, seed, center=center)
         sigs = with_sigs.select("nid", "vec", F.explode("lsh_sigs").alias("sig"))
     else:
-        with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed)
+        with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed, center=center)
         sigs = with_sigs.select(
             hash_fn(F.col(id_col)).alias("nid"),
             F.col(vec_col).alias("vec"),

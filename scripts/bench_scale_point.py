@@ -34,14 +34,14 @@ from cortex_spark.extract.fused import pages_to_nodes_fused
 from cortex_spark.linker.pipeline import ann_candidates, link_nodes
 from cortex_spark.session import get_spark
 
-cpus, n_pages, frozen_lsh = {cpus}, {n_pages}, {frozen_lsh}
+cpus, n_pages, frozen_lsh, skew = {cpus}, {n_pages}, {frozen_lsh}, {skew}
 spark = get_spark(f"scale-point-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.ui.enabled": "true"}})
 spark.sparkContext.setLogLevel("ERROR")
 
 t0 = time.time()
-pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2)
+pages = synth_pages(spark, n_pages, seed=42, partitions=cpus * 2, skew=skew)
 nodes = pages_to_nodes_fused(pages, embed_dim=64).localCheckpoint()
 n_nodes = nodes.count()
 t_extract = time.time() - t0
@@ -119,9 +119,11 @@ print("CHILD_JSON " + json.dumps({{
 """
 
 
-def one_leg(cpus: int, n_pages: int, timeout: int = 7200, frozen_lsh: bool = False) -> dict:
+def one_leg(cpus: int, n_pages: int, timeout: int = 7200, frozen_lsh: bool = False,
+            skew: bool = False) -> dict:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = _CHILD.format(root=root, cpus=cpus, n_pages=n_pages, frozen_lsh=frozen_lsh)
+    code = _CHILD.format(root=root, cpus=cpus, n_pages=n_pages, frozen_lsh=frozen_lsh,
+                         skew=skew)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
     )
@@ -178,6 +180,7 @@ def wait_for_health(min_gemms: float, max_wait: float = 7200.0) -> float:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     frozen = "--frozen-lsh" in sys.argv
+    skew = "--skew" in sys.argv
     n_pages = int(args[0]) if len(args) > 0 else 256000
     cpus = int(args[1]) if len(args) > 1 else 8
     timed_legs = int(args[2]) if len(args) > 2 else 2
@@ -189,16 +192,17 @@ def main() -> None:
     probes = []
     for _ in range(timed_legs):
         probes.append(wait_for_health(health_min, max_wait=health_wait))
-        legs.append(one_leg(cpus, n_pages, frozen_lsh=frozen))
+        legs.append(one_leg(cpus, n_pages, frozen_lsh=frozen, skew=skew))
         probes.append(host_probe())
         time.sleep(45)
     best = min(legs, key=lambda r: r["total_sec"])
-    det = one_leg(det_cpus, n_pages, frozen_lsh=frozen)
+    det = one_leg(det_cpus, n_pages, frozen_lsh=frozen, skew=skew)
     print(json.dumps({
         "metric": "kg_scale_point",
         "n_pages": n_pages,
         "timed_cpus": cpus,
         "frozen_lsh": frozen,
+        "skew": skew,
         "best": best,
         "all_total_secs": [r["total_sec"] for r in legs],
         "host_gemms_per_sec": probes,

@@ -219,7 +219,16 @@ def _scan(b, pos, frame, scan, qts, hts, dri):
         )
 
     def clamp(v: float) -> int:
-        # banker's rounding to match the engine's np.round, then clamp
+        # banker's rounding to match the engine's np.round, then clamp.
+        # Track the distance of every pre-round value from a .5 boundary:
+        # the pinned golden requires the engine's BLAS-ordered float64 IDCT
+        # and this scalar direct-sum IDCT to round identically, which is
+        # only future-proof if no value sits within ulp-noise of a tie
+        # (main() asserts the corpus-wide margin > 1e-6).
+        import math
+        frac_dist = abs(v - math.floor(v) - 0.5)
+        if frac_dist < _ROUND_MARGIN[0]:
+            _ROUND_MARGIN[0] = frac_dist
         r = round(v)
         return 0 if r < 0 else (255 if r > 255 else r)
 
@@ -240,6 +249,9 @@ def _scan(b, pos, frame, scan, qts, hts, dri):
                 )
             )
     return w, h, 3, out
+
+
+_ROUND_MARGIN = [float("inf")]  # min |pre-round − nearest .5| across a run
 
 
 def fixture(i: int) -> bytes:
@@ -267,6 +279,14 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "goldens",
         "jpeg_features.json",
+    )
+    # banker's-rounding safety: no pre-round pixel value may sit within
+    # ulp-noise of a .5 tie, or a future numpy/BLAS last-ulp change could
+    # flip one pixel and break the pinned hash despite correct code
+    print(f"min pre-round margin from .5 across 64 fixtures: {_ROUND_MARGIN[0]:.3e}")
+    assert _ROUND_MARGIN[0] > 1e-6, (
+        f"golden corpus has a rounding-tie hazard (margin {_ROUND_MARGIN[0]:.3e}); "
+        "regenerate fixtures with a different seed"
     )
     with open(out, "w") as fh:
         json.dump({"rows": out_rows}, fh, indent=0)

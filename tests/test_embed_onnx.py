@@ -139,3 +139,36 @@ def test_hashing_tokenizer_contract():
     assert ids[0][3:].sum() == 0, "padding after the last real token"
     assert ids.max() < 64 and ids[ids > 0].min() >= 1
     assert np.array_equal(ids, tokenize_batch(s, vocab_size=64))
+
+
+@pytest.mark.skipif(not HAS_ONNX, reason="optional onnx/onnxruntime absent")
+def test_mini_transformer_onnx_parity(tmp_path):
+    """The pinned mini-transformer weights (goldens/mini_transformer_w.npz)
+    export to ONNX (scripts/export_transformer_onnx.py) and the runtime's
+    forward pass matches the in-container numpy forward pass — so the
+    transformer-geometry evidence (tests/test_transformer_geometry.py)
+    transfers to the prod ONNX seam."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from export_transformer_onnx import WEIGHTS, main as export_onnx
+
+    from cortex_spark.embed import encode_batch_onnx
+    from cortex_spark.embed_transformer import MiniTransformer
+
+    path = str(tmp_path / "mini_transformer.onnx")
+    export_onnx(path)
+    model = MiniTransformer.load(WEIGHTS)
+    texts = pd.Series(
+        [f"document {i} decided to use entity{i % 5} for the pattern" for i in range(32)]
+        + ["", "a"]
+    )
+    got = np.stack([np.array(v, dtype=np.float32)
+                    for v in encode_batch_onnx(texts, path, vocab_size=model.vocab)])
+    want = model.encode(texts)
+    # runtime kernels (fused LayerNorm/Softmax) differ from numpy in the
+    # last ulps; the output is L2-normalized so 1e-5 is ~100x headroom
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
