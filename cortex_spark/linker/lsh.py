@@ -433,9 +433,14 @@ def candidate_topk(
             [pa.array(a_flat), bs_arr, ss_arr], names=["a_id", "bs", "ss"])
 
     n_parts0 = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # no sortWithinPartitions: the kernel concatenates the whole partition and
+    # lexsorts (sig, nid) in numpy anyway (int64 keys — radix-fast), so a JVM
+    # UnsafeExternalSorter pass over the widest shuffle in the job (vec rides
+    # every band row) was pure duplicate work; dropping it removed ~15% of the
+    # stage's task time and, because the sort was memory-bandwidth-bound, most
+    # of its concurrency inflation (2→8-core scaling leg, BASELINE.md §Round-5)
     per_bucket = (
         sigs.repartition(n_parts0, "sig")
-        .sortWithinPartitions("sig")
         .mapInArrow(bucket_topk_partition, schema="a_id long, bs array<long>, ss array<float>")
     )
 
