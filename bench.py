@@ -205,12 +205,30 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
             time.sleep(90)  # wait out the weather, then re-probe
             continue
         runs: dict[int, list[dict]] = {lo: [], hi: []}
+        mid_probes: list[float] = []
+        aborted_sick = False
         try:
-            for cpus in (hi, lo, lo, hi):  # ABBA
+            for i, cpus in enumerate((hi, lo, lo, hi)):  # ABBA
                 runs[cpus].append(one_run(cpus, n_pages))
+                if i < 3:
+                    # probe BETWEEN legs: a mid-run sick window silently
+                    # skews the ratio in whichever direction the weather
+                    # fell (round-5 attempt3 read a flattering 0.967 with
+                    # healthy bounding probes but a sick middle) — abort
+                    # the attempt early instead of finishing a doomed run
+                    m = host_probe(8)
+                    mid_probes.append(m)
+                    if m < SCALE_HEALTH_MIN:
+                        aborted_sick = True
+                        break
                 time.sleep(20)
         except Exception as exc:  # a crashed leg degrades to a note
             attempts.append({"error": str(exc)[-600:]})
+            continue
+        if aborted_sick:
+            attempts.append({"aborted_mid_run": mid_probes,
+                             "legs_done": sum(len(v) for v in runs.values())})
+            time.sleep(90)
             continue
         probe2_after = host_probe(2)
         probe_after = host_probe(8)
@@ -228,6 +246,7 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
             "all_secs": {str(k): [r["secs"] for r in v] for k, v in runs.items()},
             "efficiency": round(eff, 3),
             "host_gemms_per_sec": [probe_before, probe_after],
+            "host_gemms_per_sec_mid": mid_probes,
             "host_gemms_per_sec_2proc": [probe2_before, probe2_after],
             # the host's OWN 2→8-proc compute-scaling efficiency over the
             # same window: what a perfectly-parallel pure-GEMM job could
@@ -235,7 +254,10 @@ def run_scaling(n_pages: int, pair: tuple[int, int] = (2, 8)) -> dict:
             # engine is outrunning the shared-memory-bus ceiling.
             "host_compute_scaling_eff": host_eff,
             "health_floor": SCALE_HEALTH_MIN,
-            "healthy": min(probe_before, probe_after) >= SCALE_HEALTH_MIN,
+            # ALL probes through the run — bounding AND between-leg — must
+            # clear the floor: the weather has to hold for the whole window
+            # before the ratio is evidence
+            "healthy": min([probe_before, probe_after, *mid_probes]) >= SCALE_HEALTH_MIN,
         }
         attempts.append(rec)
         if rec["healthy"]:
