@@ -21,6 +21,7 @@ matmul per Arrow batch.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -56,6 +57,7 @@ def choose_lsh_params(
     rows_cap: int = 10,
     design_sim: float = 0.75,
     max_bands: int = 320,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> tuple[int, int]:
     """(rows_per_band, bands) for a corpus of n rows — candidate_topk's
     self-tuning, kept pure so the cost/recall model is unit-testable.
@@ -82,9 +84,22 @@ def choose_lsh_params(
     volume ∝ bands); past THAT (n ≳ 10⁹ at the defaults) rows stop growing
     and max_bucket bounds compute linearly — the regime where the IVF
     index (dataops/ann.py) is the right tool.
+
+    Engagement point (round-5, measured): the boost only turns on when the
+    frozen mean bucket n/2^rows_cap crosses max_bucket/2 — the zone where
+    cap truncation starts eating recall. Below that the frozen params are
+    strictly cheaper at equal-or-sufficient recall: the interleaved 1M-row
+    A/B (BENCH_r05_lsh_ab.json; T-F-F-T, min-of-two per arm, bounding
+    probes within 17%) measured frozen (10, 20) at 980 s / 22.1 GB shuffle /
+    0.962 planted recall vs tuned (11, 27) at 1197 s / 28.2 GB / 0.978 —
+    a 1.22× wall and 1.27× shuffle premium for +1.5 pp recall that the
+    ≥0.95 design target doesn't need yet. At the defaults the crossover is
+    n ≈ max_bucket/2 · 2^rows_cap ≈ 1.02M rows; the committed 512k-page leg
+    (n = 1.08M → (12, 35), BENCH_r05_scale.json) sits past it and keeps its
+    signature bit-identical under this rule.
     """
     rows_raw = int(np.ceil(np.log2(max(n / target_bucket, 1.0))))
-    if rows_raw <= rows_cap:
+    if rows_raw <= rows_cap or n / 2.0**rows_cap <= max_bucket / 2.0:
         return min(rows_cap, max(3, rows_raw)), base_bands
     p = 1.0 - float(np.arccos(design_sim)) / np.pi
     recall_base = 1.0 - (1.0 - p**rows_cap) ** base_bands
@@ -97,6 +112,36 @@ def choose_lsh_params(
             break
         rows, bands = r, b
     return rows, bands
+
+
+# Per-partition working-set target for candidate_topk's two mapInArrow
+# stages. The GEMM stage buffers its packed top-k output (n·bands·(16+k·12)
+# bytes across the stage) and the merge stage flattens its input triplets
+# (n·bands·k·20 bytes, ×~3 for the two lexsorts) in numpy before yielding —
+# with a core-count-sized partition count those buffers grow ∝ corpus (the
+# 512k staged leg measured 78 GB tree RSS in the cands stage vs ≤15 GB in
+# every other stage, BASELINE.md §Round-5). Sizing the repartitions by
+# ESTIMATED OUTPUT BYTES caps task memory at any corpus size; results are
+# partition-count-independent (cross-parallelism bit-identical signature,
+# BENCH_r04_scale.json), re-checked by tests/test_lsh_partition_sizing.py.
+TARGET_PARTITION_BYTES = int(
+    os.environ.get("CORTEX_LSH_PARTITION_BYTES", str(256 << 20))
+)
+
+
+def sized_partitions(
+    n: int, bands: int, k: int, base: int, target: int | None = None
+) -> tuple[int, int]:
+    """(gemm_parts, merge_parts): never below `base` (the session's
+    shuffle.partitions — keeps small/test workloads unchanged), capped at
+    65536 (the 10^12-doc regime; past that raise the target, not the
+    count)."""
+    t = target or TARGET_PARTITION_BYTES
+    gemm_out = n * bands * (16 + k * 12)  # packed rows
+    merge_in = n * bands * k * 20 * 3  # flattened triplets × sort copies
+    gemm = max(base, min(65536, -(-gemm_out // t)))
+    merge = max(base, min(65536, -(-merge_in // t)))
+    return int(gemm), int(merge)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -292,7 +337,9 @@ def candidate_topk(
         # callers that already know the row count pass n_rows to skip a job
         if n is None:
             n = nodes.count()
-        rows, bands = choose_lsh_params(n, target_bucket, bands, rows_cap, design_sim)
+        rows, bands = choose_lsh_params(
+            n, target_bucket, bands, rows_cap, design_sim, max_bucket=max_bucket
+        )
         n_planes = rows * bands
 
     # Work on 64-bit surrogate ids so neighbor lists ride Arrow as
@@ -432,7 +479,8 @@ def candidate_topk(
         yield pa.RecordBatch.from_arrays(
             [pa.array(a_flat), bs_arr, ss_arr], names=["a_id", "bs", "ss"])
 
-    n_parts0 = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base_parts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts0, n_parts_merge = sized_partitions(n or 0, bands, k, base_parts)
     # no sortWithinPartitions: the kernel concatenates the whole partition and
     # lexsorts (sig, nid) in numpy anyway (int64 keys — radix-fast), so a JVM
     # UnsafeExternalSorter pass over the widest shuffle in the job (vec rides
@@ -506,8 +554,7 @@ def candidate_topk(
             names=["a_id", "b_id", "score"],
         )
 
-    n_parts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    merged = per_bucket.repartition(n_parts, "a_id").mapInArrow(
+    merged = per_bucket.repartition(n_parts_merge, "a_id").mapInArrow(
         merge_topk, schema="a_id long, b_id long, score double"
     )
     a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))

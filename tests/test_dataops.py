@@ -433,8 +433,13 @@ def test_choose_lsh_params_model():
     rows let the mean bucket grow linearly with n (BASELINE.md §Round-4)."""
     from cortex_spark.linker.lsh import choose_lsh_params
 
-    # historical regime: exact match with the frozen formula, bands fixed
-    for n in (100, 5_000, 21_000, 135_000, 500 * 2**10):
+    # historical regime: exact match with the frozen formula, bands fixed.
+    # Extends past the old 512k engagement point up to ~1.02M: the 1M
+    # interleaved A/B (BENCH_r05_lsh_ab.json) measured the frozen params
+    # 1.22× cheaper at recall 0.962 ≥ the 0.95 target, so the boost now
+    # waits until the frozen mean bucket n/2^rows_cap crosses max_bucket/2
+    # (truncation-risk zone).
+    for n in (100, 5_000, 21_000, 135_000, 500 * 2**10, 512_001, 10**6):
         rows, bands = choose_lsh_params(n)
         assert bands == 20
         assert rows == min(10, max(3, int(np.ceil(np.log2(max(n / 500, 1.0))))))
@@ -442,7 +447,7 @@ def test_choose_lsh_params_model():
     p = 1 - np.arccos(0.75) / np.pi
     base_recall = 1 - (1 - p**10) ** 20
     prev_rows = 0
-    for n in (512_001, 10**6, 10**7, 10**8, 10**9, 10**12):
+    for n in (1_100_000, 10**7, 10**8, 10**9, 10**12):
         rows, bands = choose_lsh_params(n)
         assert 10 < rows <= 30 and 20 < bands <= 320
         # recall at the design similarity never drops below the clamp point
@@ -467,7 +472,9 @@ def test_candidate_topk_band_boost_recall(spark):
     bands=44-ish) — same code path a 10⁸-row corpus takes."""
     from cortex_spark.linker.lsh import brute_force_pairs, candidate_topk, choose_lsh_params
 
-    rows_sel, bands_sel = choose_lsh_params(240, target_bucket=4, rows_cap=3)
+    # max_bucket=48 puts the frozen mean bucket (240/2^3 = 30) past the
+    # engagement threshold max_bucket/2 = 24 so the boost turns on at test n
+    rows_sel, bands_sel = choose_lsh_params(240, target_bucket=4, rows_cap=3, max_bucket=48)
     assert rows_sel > 3 and bands_sel > 20  # sanity: boost engaged
 
     rng = np.random.default_rng(23)
@@ -488,7 +495,7 @@ def test_candidate_topk_band_boost_recall(spark):
     }
     got = {
         tuple(sorted((r["a_id"], r["b_id"])))
-        for r in candidate_topk(d, k=10, target_bucket=4, rows_cap=3, n_rows=240)
+        for r in candidate_topk(d, k=10, target_bucket=4, rows_cap=3, n_rows=240, max_bucket=48)
         .filter("score >= 0.75").collect()
     }
     truth = {tuple(sorted(t)) for t in truth}
