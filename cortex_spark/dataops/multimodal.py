@@ -44,6 +44,28 @@ from pyspark.sql import types as T
 
 MAGIC = b"FAKEIMG!"
 
+# Test seam: when set to a list, every banker's-rounding site in the codec
+# paths appends (site, min distance to a .5 boundary, near-boundary values)
+# before rounding. The pinned JPEG/AVI goldens assume numpy's matrix IDCT
+# and the golden scripts' scalar direct-sum IDCT round identically; a
+# pre-round value within float-noise of a half-integer is where a last-ulp
+# BLAS-ordering difference on a future numpy could flip one pixel and break
+# a pinned hash despite correct code. tests/test_multimodal.py asserts the
+# decoder rasters keep a comfortable margin and pins the rounding decisions
+# of the known boundary sites, so any such flip fails with a diagnosis
+# instead of a mysterious golden mismatch.
+_ROUND_MARGIN_TRACE: list | None = None
+_ROUND_BOUNDARY_EPS = 1e-9
+
+
+def _trace_round_margin(x, site: str) -> None:
+    if _ROUND_MARGIN_TRACE is not None:
+        arr = np.asarray(x, dtype=np.float64).reshape(-1)
+        if arr.size:
+            frac = np.abs(arr - np.floor(arr) - 0.5)
+            near = arr[frac < _ROUND_BOUNDARY_EPS]
+            _ROUND_MARGIN_TRACE.append((site, float(frac.min()), near.tolist()))
+
 # Optional compressed-codec backends: resolved once per process (executors
 # re-import this module inside the serialized UDF closure, so availability
 # is evaluated where the decode actually runs).
@@ -629,7 +651,17 @@ def _jpeg_encode_block(
     dc_codes: dict, ac_codes: dict,
 ) -> int:
     m = _jpeg_dct_matrix()
-    coef = m @ (block.astype(np.float64) - 128.0) @ m.T
+    # einsum(optimize=False) is numpy's C nditer sum — fixed summation
+    # order, never dispatched to BLAS. The matmul form put quantizer inputs
+    # 4e-15 from .5 boundaries, so a BLAS-ordering change between containers
+    # flipped coefficients and silently changed fixture bytes (round-5: 7
+    # AVI golden rows drifted exactly this way). Order-pinning makes the
+    # encoder's output a pure function of the pixel values again; the
+    # rounding-margin test (test_multimodal.py) guards the residual risk.
+    shifted = block.astype(np.float64) - 128.0
+    coef = np.einsum("ik,lk->il", np.einsum("ij,jk->ik", m, shifted, optimize=False),
+                     m, optimize=False)
+    _trace_round_margin(coef / q, "jpeg_quant")  # fixture-side: feeds the pinned bytes
     quant = np.round(coef / q).astype(np.int64)
     zz = quant.reshape(-1)[_JPEG_ZIGZAG]
     dc = int(zz[0])
@@ -996,13 +1028,16 @@ def _jpeg_decode_scan(content, pos, frame, scan, qt, huff, restart_interval):
             p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         full.append(p[:h, :w])
     if len(full) == 1:
+        _trace_round_margin(full[0], "jpeg_gray")
         arr = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
         return w, h, 1, arr
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    arr = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    rgb = np.stack([r, g, b], axis=-1)
+    _trace_round_margin(rgb, "jpeg_rgb")
+    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, 3, arr
 
 
@@ -1789,8 +1824,9 @@ def _parse_avi_mjpeg(content: bytes):
             lumas.append(arr[:, :, 0])
         else:  # JFIF luma from RGB, banker's-rounded like the decoders
             r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
-            lumas.append(np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
-                                 0, 255).astype(np.uint8))
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            _trace_round_margin(luma, "avi_luma")
+            lumas.append(np.clip(np.round(luma), 0, 255).astype(np.uint8))
     return w, h, fps_num, fps_den, lumas
 
 

@@ -62,8 +62,14 @@ def one_run(cpus: int, n_pages: int) -> dict:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = _CHILD_SNIPPET.format(root=root, cpus=cpus, n_pages=n_pages)
+    # budget scales with work-per-core (healthy ≈ 0.012 s·cpu/page, ×4 slack
+    # for degraded windows): a flat 900 s cap silently converts big-input
+    # low-core legs into TimeoutExpired (a healthy 2-cpu 128k leg runs
+    # ~1400 s), while an unbounded one lets a hopeless window stall the
+    # whole attempt loop
+    budget = max(900, int(n_pages / max(cpus, 1) * 0.048))
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=budget
     )
     if out.returncode != 0 or not out.stdout.strip():
         raise RuntimeError(

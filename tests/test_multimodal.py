@@ -792,3 +792,56 @@ def test_avi_ignores_foreign_stream_chunks():
     w, h, fn, fd, lumas = _parse_avi_mjpeg(bytes(patched))
     assert (w, h, fn, fd) == (16, 16, 10, 1)
     assert len(lumas) == 2 and all(l.shape == (16, 16) for l in lumas)
+
+
+def test_jpeg_avi_goldens_have_rounding_margin():
+    """Round-5 ADVICE #5: the pinned JPEG/AVI goldens assume numpy's matrix
+    IDCT and the golden scripts' scalar direct-sum IDCT banker's-round
+    identically; a pre-round value within float-noise of a .5 boundary is
+    where a last-ulp BLAS-ordering change on a future numpy could flip one
+    pixel and break a pinned hash despite correct code. Two-tier check over
+    every committed fixture:
+
+    - decoder rasters (jpeg_gray / jpeg_rgb — the real cross-implementation
+      surface, numpy IDCT vs scalar direct sum): margin must stay > 1e-9
+      (measured 1.5e-05 at pin time, ~9 orders above ulp noise);
+    - the known boundary sites (the encoder quantizer whose output bytes
+      both the engine and the golden scripts consume, and the dyadic-exact
+      107.5 AVI lumas): their 64 rounding DECISIONS are pinned, so a future
+      numpy that nudges one across .5 fails HERE with a regeneration hint
+      instead of as a mysterious downstream golden mismatch."""
+    import hashlib
+    import json
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import make_avi_golden
+    import make_jpeg_golden
+
+    from cortex_spark.dataops import multimodal as mm
+
+    mm._ROUND_MARGIN_TRACE = trace = []
+    try:
+        for i in range(64):  # every goldens/jpeg_features.json fixture
+            mm._decode_jpeg(make_jpeg_golden.fixture(i))
+        for i in range(32):  # every goldens/avi_frames.json fixture
+            mm._parse_avi_mjpeg(make_avi_golden.fixture(i))
+    finally:
+        mm._ROUND_MARGIN_TRACE = None
+    dec = [m for site, m, _ in trace if site in ("jpeg_gray", "jpeg_rgb")]
+    assert dec and min(dec) > 1e-9, (
+        f"decoder raster pre-round value within {min(dec)} of a .5 boundary: "
+        "the numpy-IDCT-vs-scalar-IDCT bit-identity the goldens pin is no "
+        "longer ulp-safe")
+    decisions = sorted(
+        (site, int(round(v * 2)), int(np.round(v)))
+        for site, _, near in trace for v in near
+    )
+    sig = hashlib.md5(json.dumps(decisions).encode()).hexdigest()
+    assert (len(decisions), sig) == (64, "71c3ad57209d516fb18b8095a52bb119"), (
+        "a near-.5 rounding decision changed (numpy summation-order drift): "
+        "regenerate the jpeg/avi goldens (scripts/make_*_golden.py) and "
+        "re-pin this signature")
