@@ -195,7 +195,22 @@ def dedup_edges_for_actions(actions: DataFrame, cmap: DataFrame, run_ts: datetim
         .drop("src_c", "dst_c")
         .filter(F.col("src") != F.col("dst"))
     )
-    out = sup_edges.unionByName(link_edges).dropDuplicates(["src", "dst", "relation"])
+    # deterministic survivor per (src,dst,relation): dropDuplicates keeps an
+    # arrival-order row, so when a merge and a supersede emit the same pair
+    # (sim 1.0 vs score) or two link pairs redirect to the same canonical
+    # edge with different scores, the surviving weight would depend on
+    # parallelism — the same arrival-order-ulp class of bug as the staged
+    # 512k merge (BASELINE.md §Round-5 determinism leg). Highest (weight,
+    # sim) wins, a total order because weights are data not floats-from-GEMM.
+    w_dedup = Window.partitionBy("src", "dst", "relation").orderBy(
+        F.desc("weight"), F.desc("sim")
+    )
+    out = (
+        sup_edges.unionByName(link_edges)
+        .withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return out.select(
         F.sha2(F.concat_ws("\x00", "src", "dst", "relation"), 256).substr(1, 32).alias("edge_id"),
         "src",

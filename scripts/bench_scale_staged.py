@@ -120,12 +120,20 @@ parts = [spark.read.parquet({work!r} + "/cands_g" + str(g)) for g in range({n_gr
 allc = parts[0]
 for p in parts[1:]:
     allc = allc.unionByName(p)
-# same pair found by several groups → one row (scores identical: exact
-# cosine); then per-node re-top-k — candidate-exact vs a single pass with
-# the union's band set (any pair in the global top-k is in its own pass's
-# per-node top-k, so the union contains the true top-k)
+# same pair found by several groups → one row via MAX(score), NOT
+# dropDuplicates: the two groups compute the pair's cosine in different
+# bucket-GEMM shapes (bands=18 vs 17), so the scores can differ by 1 ulp,
+# and dropDuplicates keeps whichever arrives first — parallelism-dependent.
+# That arrival-order ulp was the entire 512k cross-parallelism signature
+# mismatch (18 of 108M pairs flipped at the rank-100 boundary; localized
+# by diffing the stage parquets: cands_g0/g1 bit-identical across
+# local[8]/local[16], divergence born here). max() is order-independent
+# and matches the library merge (linker/lsh.py merge_topk reduceat-max).
+# Then per-node re-top-k — candidate-exact vs a single pass with the
+# union's band set (any pair in the global top-k is in its own pass's
+# per-node top-k, so the union contains the true top-k).
 w = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
-merged = (allc.dropDuplicates(["a_id", "b_id"])
+merged = (allc.groupBy("a_id", "b_id").agg(F.max("score").alias("score"))
           .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100).drop("rn"))
 merged.write.mode("overwrite").parquet({work!r} + "/cands")
 out = {{"stage": "cands_merge", "rows": spark.read.parquet({work!r} + "/cands").count()}}
