@@ -110,3 +110,29 @@ def test_merge_chain_collapses_to_single_canonical(spark, nodes_df_factory, edge
     n2, e2 = canonicalize(nodes, edges, actions, run_ts=datetime(2026, 2, 1))
     tomb = {r["node_id"] for r in n2.filter("deleted").collect()}
     assert tomb == {"B", "C"}  # A is the rep (highest degree)
+
+
+def test_dedup_edge_survivor_is_deterministic_max_weight(spark):
+    """Duplicate (src,dst,relation) rows from two link actions that redirect
+    to the same canonical pair must keep the HIGHEST (weight, sim) — not an
+    arrival-order survivor, whose identity depends on parallelism (the 512k
+    staged determinism incident, BASELINE.md §Round-5: dropDuplicates kept
+    whichever ulp-variant arrived first)."""
+    from cortex_spark.canon.merge import dedup_edges_for_actions
+
+    actions = spark.createDataFrame(
+        [
+            ("link", None, None, "X1", "Y", 0.93),
+            ("link", None, None, "X2", "Y", 0.97),  # redirects onto the same (C, Y)
+        ],
+        "action string, keep string, retire string, a_id string, b_id string, score double",
+    )
+    cmap = spark.createDataFrame(
+        [("X1", "C"), ("X2", "C")], "node_id string, canonical string"
+    )
+    out = dedup_edges_for_actions(actions, cmap, datetime(2026, 1, 1)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["src"], row["dst"], row["relation"]) == ("C", "Y", "related_to")
+    assert abs(row["weight"] - 0.97) < 1e-6  # weight is float32
+    assert abs(row["provenance"]["score"] - 0.97) < 1e-6
