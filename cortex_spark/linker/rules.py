@@ -241,13 +241,20 @@ def apply_link_rules(pairs: DataFrame, config: LinkerConfig | None = None) -> Da
         )
     )
 
+    # explode the full slot array and drop null slots AFTER the explode: the
+    # higher-order F.filter is CodegenFallback, which forces the whole slot
+    # construction (8 when-structs per pair) through interpreted eval —
+    # measured 3× slower warm and ~13× slower on the first (cold) run at
+    # bench scale (see OPTIMIZATION_r06.md). explode(CreateArray(...)) stays
+    # inside WholeStageCodegen; a null slot becomes a row filtered right out.
     proposed = (
         pairs.select(
             F.col("a_id").alias("src"),
             F.col("b_id").alias("dst"),
             F.col("score"),
-            F.explode(F.filter(F.array(*slots), lambda s: s.isNotNull())).alias("e"),
+            F.explode(F.array(*slots)).alias("e"),
         )
+        .filter(F.col("e").isNotNull())
         .select(
             "src",
             "dst",

@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size conditions are
+        # met (guide §3.1/§9): the iterative CC kernel's per-round joins drop
+        # their SMJ sorts — measured 20.4 → 12.7 s warm on a 1.65M-edge graph
+        # (OPTIMIZATION_r06.md); AQE skew-join still applies to both kinds
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
