@@ -275,12 +275,15 @@ def q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 degree over the part-supplier co-occurrence graph (lineitem)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     e = li.select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
-    out_d = e.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
-    in_d = e.groupBy(F.col("dst").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
+    # one aggregation instead of three (guide §2.3-2.4): explode each edge
+    # into its two endpoints and count — map-side partial aggregation sees
+    # every occurrence, so one small shuffle replaces groupBy(src) +
+    # groupBy(dst) + the union re-aggregation. degree = total occurrences on
+    # either side, identical to the summed two-sided counts.
     return (
-        out_d.unionByName(in_d)
+        e.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .groupBy("node_id")
-        .agg(F.sum("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy(F.desc("degree"), F.asc("node_id"))
         .limit(100)
     )
@@ -308,9 +311,17 @@ def q_tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    # reduce-then-join (guide §3.1): filter orders down to the segment first
+    # (broadcast seg, ~1/5 of customers), then broadcast the surviving order
+    # keys to the lineitem scan — lineitem (the 6M-row side at sf1) is never
+    # shuffled; the old plan shuffled lineitem AND orders for a sort-merge
+    # join before the segment filter ever applied. Inner equi-joins commute,
+    # so the aggregated row set is identical.
+    seg_orders = orders.join(
+        F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"]
+    ).select("o_orderkey")
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"])
+        li.join(F.broadcast(seg_orders), li["l_orderkey"] == seg_orders["o_orderkey"])
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -15,17 +15,35 @@ up the Catalyst plan; convergence is detected by an aggregate signature
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Graphs at or below this edge count bypass the iterative kernel: a bounded
+# limit(cap+1).collect() + driver union-find answers in one job what the
+# alternation answers in ~40 (each Kiveris round is several AQE query
+# stages, and per-job latency — not data — dominates below ~10^5 edges:
+# measured 3.3 s for the 646-edge canonical_map merge graph). The cap
+# bounds driver memory (~cap * 2 ids); anything larger falls through to
+# the distributed alternation unchanged, so the 100 TB path is untouched.
+DRIVER_CC_MAX_EDGES = int(os.environ.get("CORTEX_CC_DRIVER_MAX_EDGES", "100000"))
+
 
 def _neighborhoods(edges: DataFrame) -> DataFrame:
-    """Symmetric (u, v) adjacency incl. both directions, no self-loops."""
-    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    return (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    """Initial (u, v) state: raw oriented edges, self-loops dropped.
+
+    No up-front symmetrization and no distinct: _large_star derives the
+    symmetric neighbor view from its input EVERY round anyway, so a
+    pre-doubled initial state just made round 1 process 4x the raw edges
+    (union of an already-doubled list with its own swap), and the initial
+    distinct was a full shuffle whose duplicates would melt in round 1's
+    single end-of-round dedup regardless (see _large_star on the
+    one-dedup-per-round design). Same converged output, same round count —
+    the per-round operators are min-aggregates, insensitive to duplicates
+    and orientation."""
+    return edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
     )
 
 
@@ -75,6 +93,33 @@ def _signature(edges: DataFrame) -> int:
     return (int(row["sig"]), int(row["n"]))
 
 
+def _driver_components(rows) -> list[tuple]:
+    """Union-find over collected (src, dst) rows; emits (node, component)
+    for every node on an edge, component = min member id — the exact output
+    contract of the distributed kernel (self-loops already filtered)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by id order keeps the running root = min of the pair,
+            # so the final root IS the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -92,7 +137,26 @@ def connected_components(
     super-linear blowup shows up here first).
     """
     spark = edges.sparkSession
-    cur = _neighborhoods(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cap = DRIVER_CC_MAX_EDGES
+    if cap > 0:
+        # small-graph fast path: ONE bounded job decides. limit(cap+1) keeps
+        # the collect bounded regardless of graph size; exactly cap+1 rows
+        # back means "too big" and the distributed kernel below runs on the
+        # full frame (one redundant partial scan, amortized at that size).
+        head = e0.filter(F.col("src") != F.col("dst")).limit(cap + 1).collect()
+        if len(head) <= cap:
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["driver_path"] = True
+            id_type = e0.schema[0].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            schema = StructType(
+                [StructField("node_id", id_type), StructField("component", id_type)]
+            )
+            return spark.createDataFrame(_driver_components(head), schema)
+    cur = _neighborhoods(e0)
     cur = cur.localCheckpoint(eager=True)
     prev_sig = None
     rounds = 0

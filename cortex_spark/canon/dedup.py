@@ -25,13 +25,16 @@ IMPORTANCE_GAP = 0.3
 
 
 def degree(edges: DataFrame) -> DataFrame:
-    """|out| + |in| per node (engine.rs:51; dedup.rs:180-183)."""
-    out_d = edges.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
-    in_d = edges.groupBy(F.col("dst").alias("node_id")).agg(F.count(F.lit(1)).alias("d"))
+    """|out| + |in| per node (engine.rs:51; dedup.rs:180-183).
+
+    One aggregation instead of three (guide §2.3): explode each edge into
+    its two endpoints and count — map-side partial aggregation reduces
+    before the single shuffle; identical totals to the two-sided
+    groupBy+union+sum formulation this replaces."""
     return (
-        out_d.unionByName(in_d)
+        edges.select(F.explode(F.array("src", "dst")).alias("node_id"))
         .groupBy("node_id")
-        .agg(F.sum("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
 
 
@@ -73,7 +76,10 @@ def dedup_actions(pairs: DataFrame, nodes: DataFrame, edges: DataFrame) -> DataF
     Output: a_id, b_id, score, action ∈ {merge, supersede, link},
     keep, retire (null for link).
     """
-    deg = degree(edges)
+    # the degree frame is referenced twice below (a-side and b-side joins)
+    # and Spark re-executes the aggregation per reference — checkpoint the
+    # small per-node result so the edge table is scanned once, not twice
+    deg = degree(edges).localCheckpoint(eager=True)
     attrs = nodes.select("node_id", "importance", "created_at")
     pa = (
         pairs.join(attrs.select(F.col("node_id").alias("a_id"), F.col("importance").alias("a_imp"), F.col("created_at").alias("a_created")), "a_id")

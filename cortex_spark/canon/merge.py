@@ -73,8 +73,21 @@ def rewrite_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
         .drop("src_c", "dst_c")
         .filter(F.col("src") != F.col("dst"))
     )
-    w = Window.partitionBy("src", "dst", "relation").orderBy(F.asc("created_at"), F.asc("edge_id"))
-    return redirected.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    # survivor per (src,dst,relation) = min (created_at, edge_id), via a
+    # min_by hash-aggregate instead of a row_number window: map-side partial
+    # aggregation plus no per-group sort over the full edge table (guide
+    # §2.3). edge_id is unique in the input, so (created_at, edge_id) is a
+    # total order and the surviving row is identical to the window's rn=1.
+    keys = ("src", "dst", "relation")
+    val_cols = [c for c in redirected.columns if c not in keys]
+    picked = redirected.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(*val_cols), F.struct(F.col("created_at"), F.col("edge_id"))
+        ).alias("p")
+    )
+    return picked.select(
+        *[F.col(c) if c in keys else F.col(f"p.{c}").alias(c) for c in redirected.columns]
+    )
 
 
 def merge_node_attrs(nodes: DataFrame, cmap: DataFrame, run_ts: datetime) -> DataFrame:
@@ -235,7 +248,14 @@ def canonicalize(
 ) -> tuple[DataFrame, DataFrame]:
     """Apply all dedup actions; returns (nodes', edges')."""
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
-    cmap = canonical_map(actions, nodes, edges)
+    # cmap fans out into SIX plan references downstream (src/dst maps in
+    # rewrite_edges and dedup_edges_for_actions, fold + tombstone in
+    # merge_node_attrs) and Spark re-executes a referenced subtree per
+    # reference — without the checkpoint the whole canonical_map lineage
+    # (components + degree + rep window) ran up to 6x per action. The map is
+    # small (retired nodes only; it is broadcast two lines down), so the
+    # eager materialization is one cheap job that truncates all six.
+    cmap = canonical_map(actions, nodes, edges).localCheckpoint(eager=True)
     new_edges = rewrite_edges(edges, cmap)
     dedup_e = dedup_edges_for_actions(actions, cmap, run_ts)
     all_edges = (

@@ -23,8 +23,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cortex_spark.functions.similarity import cosine_col
+from cortex_spark.functions.similarity import dot_col, l2_norm_col
 from cortex_spark.linker.lsh import add_lsh_bands
+
+
+def _cosine_from_norms(q_vec, c_vec, q_norm, c_norm):
+    """cosine(q, c) with the per-row L2 norms factored out of the pair join.
+
+    cosine_col would re-evaluate both interpreted norm aggregates once per
+    PAIR (|corpus|x|queries| times); computing each row's norm once before
+    the join cuts the per-pair work to the dot product alone. Bit-identical
+    to cosine_col: same fold order, same doubles, and IEEE multiplication is
+    commutative so q_norm*c_norm == l2(q)*l2(c) exactly."""
+    denom = q_norm * c_norm
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col(q_vec, c_vec) / denom)
 
 
 def ann_topk_bruteforce(
@@ -37,15 +49,25 @@ def ann_topk_bruteforce(
 ) -> DataFrame:
     """(query_id, neighbor_id, score, rank ≤ k); exact, deterministic
     tie-break on neighbor id."""
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm_col(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm_col(F.col(vec_col)).alias("q_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            _cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -69,16 +91,27 @@ def ann_topk_lsh(
     c = add_lsh_bands(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", dim, n_planes, bands, seed,
-    ).select("neighbor_id", "c_vec", F.explode("lsh_sigs").alias("sig"))
+    ).select(
+        "neighbor_id", "c_vec", l2_norm_col(F.col("c_vec")).alias("c_norm"),
+        F.explode("lsh_sigs").alias("sig"),
+    )
     q = add_lsh_bands(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", dim, n_planes, bands, seed,
-    ).select("query_id", "q_vec", F.explode("lsh_sigs").alias("sig"))
+    ).select(
+        "query_id", "q_vec", l2_norm_col(F.col("q_vec")).alias("q_norm"),
+        F.explode("lsh_sigs").alias("sig"),
+    )
     cands = (
         c.join(q, "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score"))
+        .select(
+            "query_id", "neighbor_id",
+            _cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -187,16 +220,24 @@ def ann_topk_ivf(
     # ragged batch
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).filter(F.col("c_vec").isNotNull()).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0])
+    ).filter(F.col("c_vec").isNotNull()).withColumn("cell", _cell_udf(C, 1)(F.col("c_vec"))[0]).withColumn(
+        "c_norm", l2_norm_col(F.col("c_vec"))
+    )
     q = (
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .filter(F.col("q_vec").isNotNull())
         .withColumn("cell", F.explode(_cell_udf(C, nprobe)(F.col("q_vec"))))
+        .withColumn("q_norm", l2_norm_col(F.col("q_vec")))
     )
     cands = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score"))
+        .select(
+            "query_id", "neighbor_id",
+            _cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return cands.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -259,10 +300,14 @@ class IvfIndexStore:
         cells = [r["cell"] for r in q.select("cell").distinct().collect()]
         lists = self.spark.read.parquet(self.lists_path).filter(F.col("cell").isin(cells))
         cands = (
-            lists.join(F.broadcast(q), "cell")
+            lists.withColumn("c_norm", l2_norm_col(F.col("c_vec")))
+            .join(F.broadcast(q.withColumn("q_norm", l2_norm_col(F.col("q_vec")))), "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
-                "query_id", "neighbor_id", cosine_col(F.col("q_vec"), F.col("c_vec")).alias("score")
+                "query_id", "neighbor_id",
+                _cosine_from_norms(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+                ).alias("score"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -137,7 +137,13 @@ def link_nodes(
     # Hash-aggregate min_by instead of a row_number window: partial (map-side)
     # aggregation shrinks the shuffle and skips the sort; priorities are
     # unique per rule so the pick is deterministic.
-    deduped = first_rule_wins(proposed)
+    # One exchange for the whole tail (guide §2.4): hash-partitioning by src
+    # alone satisfies the clustering the (src,dst,relation) aggregation AND
+    # the per-src cap window both require, so the explicit repartition below
+    # replaces two back-to-back shuffles (agg by 3 keys, then window by src)
+    # with one. Proposals per src are bounded by ann_k x rules, so no
+    # hot-key hazard; AQE still coalesces the partition count.
+    deduped = first_rule_wins(proposed.repartition("src"))
     # per-node cap in candidate-score order (auto_linker.rs:259-264); tie-break
     # (dst, priority) makes the distributed order deterministic (SURVEY §7).
     w_cap = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"), F.asc("priority"))
