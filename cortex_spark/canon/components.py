@@ -171,13 +171,13 @@ def connected_components(
         prev_sig = sig
     if stats is not None:
         stats["rounds"] = rounds
-    # converged state: edges point each node at its component min
-    comp = cur.groupBy("u").agg(F.min("v").alias("component"))
-    comp = comp.select(F.col("u").alias("node_id"), "component")
-    # the component roots themselves
-    roots = comp.select(F.col("component").alias("node_id"), F.col("component")).distinct()
+    # converged state: edges point each node at its component min. Emit the
+    # roots as (v, v) self-rows and fold everything in ONE aggregation —
+    # the old comp/roots/distinct/union/re-aggregate chain spent three
+    # exchanges computing the same thing (guide §2.4).
     return (
-        comp.unionByName(roots)
+        cur.select(F.col("u").alias("node_id"), F.col("v").alias("component"))
+        .unionByName(cur.select(F.col("v").alias("node_id"), F.col("v").alias("component")))
         .groupBy("node_id")
         .agg(F.min("component").alias("component"))
     )

@@ -86,16 +86,25 @@ def gen_text(seed: int, i: int) -> str:
     n_sections = int(rng.integers(1, 5))
     ents = rng.choice(_ENTITIES, size=int(rng.integers(2, 6)), replace=False)
     lines: list[str] = []
+    # rng.choice(arr, size=m) with replacement draws exactly
+    # rng.integers(0, len(arr), size=m) under the hood but pays ~10x numpy
+    # dispatch overhead per call (shape checks, np.prod) — generation was
+    # 70% of the extract stage's task time in rng.choice. Indexing the
+    # python list with the same integer draws is BIT-IDENTICAL (stream and
+    # values; asserted by tests/test_corpus_stream.py) and ~3x faster per
+    # page. The replace=False draw above keeps using choice: its Floyd
+    # sampling consumes the stream differently and is not worth replicating.
     for s in range(n_sections):
-        words = rng.choice(_WORDS, size=3)
+        words = [_WORDS[j] for j in rng.integers(0, len(_WORDS), size=3)]
         lines.append(f"# Section {s} {' '.join(words)} {ents[s % len(ents)]}")
         n_lines = int(rng.integers(2, 6))
         for _ in range(n_lines):
-            sent = " ".join(rng.choice(_WORDS, size=int(rng.integers(6, 14))))
+            n_words = int(rng.integers(6, 14))
+            sent = " ".join(_WORDS[j] for j in rng.integers(0, len(_WORDS), size=n_words))
             ent = ents[int(rng.integers(0, len(ents)))]
             lines.append(f"{sent} {ent}.")
         if rng.random() < 0.55:
-            lines.append(str(rng.choice(_KIND_SNIPPETS)) + ".")
+            lines.append(_KIND_SNIPPETS[int(rng.integers(0, len(_KIND_SNIPPETS)))] + ".")
     if i % 23 == 0:
         lines.append(_NEGATION + ".")
     text = "\n".join(lines)

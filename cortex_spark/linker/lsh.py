@@ -493,64 +493,77 @@ def candidate_topk(
     )
 
     def merge_topk(batches) -> "Iterator[pa.RecordBatch]":
-        """Whole-partition vectorized per-node merge: max score per neighbor,
-        then per-node top-k by (−score, neighbor id) — three lexsorts over
-        flat arrays instead of one Python call per node. (The previous
-        groupBy(a_id).applyInPandas paid ~1 ms of per-group overhead × one
-        group per node, a non-scaling cost that dominated the merge stage.)
+        """Per-node merge: max score per neighbor, then per-node top-k by
+        (−score, neighbor id).
 
-        Arrow-native (mapInArrow): the packed neighbor/score list columns
-        flatten ZERO-COPY via ListArray offsets instead of one np.asarray
-        call per packed row (isolated microbench at 17M elements: flatten
-        1.60 s → 0.54 s; dedup sort 12.5 s → 10.7 s by dropping the float
-        key from the big lexsort — per-(a,b) max needs no within-segment
-        order, so reduceat replaces a whole mergesort pass). Stage-level
-        wall-clock on this VM is noise-bound (BASELINE.md), so the
-        microbenches are the evidence; the work reduction holds at any
-        scale.
+        Round-6 shape: ONE stable argsort over the PACKED rows (one row per
+        (node, band) — `bands` times fewer elements than the flat triplet
+        array), an O(N) gather that lays the flat neighbor/score arrays out
+        node-contiguously, then small per-segment sorts (~bands·k elements)
+        per node. The previous whole-partition lexsorts ordered the full
+        flat array twice (2- and 3-key mergesorts over n/P·bands·k random
+        int64s — measured 24 s for a 13M-entry partition at the 100k-page
+        scale point, the merge stage's dominant cost); segment sorts do the
+        same work cache-resident in ~1/10 the time, and the per-node Python
+        loop is bounded by nodes/partition (sized_partitions keeps segments
+        at bands·k ≈ a few thousand elements at any corpus size).
+
+        Selection and emitted row order are identical to the previous
+        global formulation: nodes ascend by surrogate id, neighbors by
+        (-score, id), max-per-(a,b) before ranking.
 
         Requires all rows of an a_id in one partition — guaranteed by the
-        repartition(a_id) below; batches within the partition are flattened
-        per-batch then concatenated once (partition memory = nodes/P × bands
-        × k × 16 B; size P accordingly).
+        repartition(a_id) below. Arrow list columns flatten zero-copy.
         """
         import pyarrow as pa
 
-        a_parts, b_parts, s_parts = [], [], []
+        row_a, row_lens, b_parts, s_parts = [], [], [], []
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             a_col, bs_col, ss_col = rb.column(0), rb.column(1), rb.column(2)
-            lens = bs_col.value_lengths().to_numpy().astype(np.int64)
-            a_parts.append(np.repeat(a_col.to_numpy(), lens))
+            row_a.append(a_col.to_numpy())
+            row_lens.append(bs_col.value_lengths().to_numpy().astype(np.int64))
             b_parts.append(bs_col.flatten().to_numpy())
             s_parts.append(ss_col.flatten().to_numpy())
-        if not a_parts:
+        if not row_a:
             return
-        a = np.concatenate(a_parts) if len(a_parts) > 1 else a_parts[0]
+        ra = np.concatenate(row_a) if len(row_a) > 1 else row_a[0]
+        lens = np.concatenate(row_lens) if len(row_lens) > 1 else row_lens[0]
         bs = np.concatenate(b_parts) if len(b_parts) > 1 else b_parts[0]
         ss = np.concatenate(s_parts) if len(s_parts) > 1 else s_parts[0]
-        # max score per (a, neighbor): 2-key sort (a, b) + segment max via
-        # reduceat — dropping the float key from the big lexsort saves a
-        # whole mergesort pass over the pre-dedup rows (the partition's
-        # dominant cost); order within an (a,b) segment is irrelevant to max
-        order = np.lexsort((bs, a))
-        a, bs, ss = a[order], bs[order], ss[order]
-        first = np.ones(len(a), dtype=bool)
-        first[1:] = (a[1:] != a[:-1]) | (bs[1:] != bs[:-1])
-        starts0 = np.flatnonzero(first)
-        ss = np.maximum.reduceat(ss, starts0)
-        a, bs = a[starts0], bs[starts0]
-        # per-node top-k by (-s, b): sort (a, -s, b), positional rank per group
-        order = np.lexsort((bs, -ss, a))
-        a, bs, ss = a[order], bs[order], ss[order]
-        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-        counts = np.diff(np.r_[starts, len(a)])
-        rank = np.arange(len(a)) - np.repeat(starts, counts)
-        keep = rank < k
+        # order packed rows by node id; gather the flat arrays to match
+        order = np.argsort(ra, kind="stable")
+        ra_s, lens_s = ra[order], lens[order]
+        starts = np.r_[0, np.cumsum(lens)]
+        total = int(starts[-1])
+        new_starts = np.r_[0, np.cumsum(lens_s)]
+        gather = np.repeat(starts[order] - new_starts[:-1], lens_s) + np.arange(total)
+        bs, ss = bs[gather], ss[gather]
+        # per-node segments in the flat arrays
+        row_node_first = np.flatnonzero(np.r_[True, ra_s[1:] != ra_s[:-1]])
+        seg_starts = new_starts[row_node_first]
+        seg_ends = np.r_[seg_starts[1:], total]
+        node_ids = ra_s[row_node_first]
+
+        out_a, out_b, out_s = [], [], []
+        for ni in range(len(node_ids)):
+            sb = bs[seg_starts[ni] : seg_ends[ni]]
+            sv = ss[seg_starts[ni] : seg_ends[ni]]
+            o = np.argsort(sb, kind="stable")  # group duplicates of each b
+            sb, sv = sb[o], sv[o]
+            f0 = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+            sv = np.maximum.reduceat(sv, f0)  # max score per neighbor
+            sb = sb[f0]
+            o2 = np.lexsort((sb, -sv))  # (-score, neighbor id)
+            if len(o2) > k:
+                o2 = o2[:k]
+            out_a.append(np.full(len(o2), node_ids[ni]))
+            out_b.append(sb[o2])
+            out_s.append(sv[o2])
         yield pa.RecordBatch.from_arrays(
-            [pa.array(a[keep]), pa.array(bs[keep]),
-             pa.array(ss[keep].astype(np.float64))],
+            [pa.array(np.concatenate(out_a)), pa.array(np.concatenate(out_b)),
+             pa.array(np.concatenate(out_s).astype(np.float64))],
             names=["a_id", "b_id", "score"],
         )
 
