@@ -61,11 +61,11 @@ def canonical_map(actions: DataFrame, nodes: DataFrame, edges: DataFrame) -> Dat
     )
 
 
-def rewrite_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
-    """Redirect edges through the canonical map (J14, dedup.rs:233-278)."""
+def _redirect(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Redirect src/dst through the canonical map, drop self-edges (no dedup)."""
     src_map = cmap.select(F.col("node_id").alias("src"), F.col("canonical").alias("src_c"))
     dst_map = cmap.select(F.col("node_id").alias("dst"), F.col("canonical").alias("dst_c"))
-    redirected = (
+    return (
         edges.join(F.broadcast(src_map), "src", "left")
         .join(F.broadcast(dst_map), "dst", "left")
         .withColumn("src", F.coalesce(F.col("src_c"), F.col("src")))
@@ -73,6 +73,11 @@ def rewrite_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
         .drop("src_c", "dst_c")
         .filter(F.col("src") != F.col("dst"))
     )
+
+
+def rewrite_edges(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Redirect edges through the canonical map (J14, dedup.rs:233-278)."""
+    redirected = _redirect(edges, cmap)
     # survivor per (src,dst,relation) = min (created_at, edge_id), via a
     # min_by hash-aggregate instead of a row_number window: map-side partial
     # aggregation plus no per-group sort over the full edge table (guide
@@ -256,12 +261,29 @@ def canonicalize(
     # small (retired nodes only; it is broadcast two lines down), so the
     # eager materialization is one cheap job that truncates all six.
     cmap = canonical_map(actions, nodes, edges).localCheckpoint(eager=True)
-    new_edges = rewrite_edges(edges, cmap)
-    dedup_e = dedup_edges_for_actions(actions, cmap, run_ts)
-    all_edges = (
-        new_edges.unionByName(
-            dedup_e.join(new_edges.select("src", "dst", "relation"), ["src", "dst", "relation"], "left_anti")
-        )
+    # ONE aggregation replaces {rewrite survivor dedup} + {anti-join of the
+    # dedup edges against the rewritten table} + {union}: tag redirected
+    # rows pri=0 and dedup-emitted rows pri=1 and take min_by
+    # (pri, created_at, edge_id) per (src,dst,relation). A group holding any
+    # redirected row keeps its earliest redirected row (exactly
+    # rewrite_edges' survivor) and discards the dedup row (exactly the old
+    # anti-join); a dedup-only group keeps its single row. The old plan also
+    # evaluated the full rewrite TWICE (the union referenced it on both
+    # sides of the anti-join).
+    redirected = _redirect(edges, cmap).withColumn("_pri", F.lit(0))
+    dedup_e = dedup_edges_for_actions(actions, cmap, run_ts).withColumn("_pri", F.lit(1))
+    unioned = redirected.unionByName(dedup_e)
+    keys = ("src", "dst", "relation")
+    out_cols = [c for c in edges.columns]
+    val_cols = [c for c in out_cols if c not in keys]
+    picked = unioned.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(*val_cols),
+            F.struct(F.col("_pri"), F.col("created_at"), F.col("edge_id")),
+        ).alias("p")
+    )
+    all_edges = picked.select(
+        *[F.col(c) if c in keys else F.col(f"p.{c}").alias(c) for c in out_cols]
     )
     new_nodes = merge_node_attrs(nodes, cmap, run_ts)
     return new_nodes, all_edges
