@@ -106,6 +106,72 @@ class _TextExtractor(HTMLParser):
         self._flush()
 
 
+# ── fast tokenizer ─────────────────────────────────────────────────────────
+#
+# html.parser.HTMLParser scans char-by-char with many small regex matches
+# (70% of the extract kernel's profile). This tokenizer walks the document
+# with ONE compiled regex and drives the SAME _TextExtractor handler object,
+# so the emitted text is identical by construction wherever the fast path
+# accepts the input. Anything it is not bit-sure about — a stray '<' in
+# text, an unquoted attribute value containing '/', processing instructions,
+# CDATA sections, end tags with attributes/whitespace — makes it bail and
+# the document re-parses from scratch with the stdlib parser.
+# tests/test_html_fast.py asserts parity on the synthetic corpus and on the
+# adversarial/fallback cases.
+
+import re as _re
+from html import unescape as _unescape
+
+_TOKEN_RE = _re.compile(
+    r"<!--.*?-->"  # comment (handler: no-op)
+    r"|<!DOCTYPE[^>]*>"  # doctype (handler: no-op)
+    r"|</([a-zA-Z][a-zA-Z0-9]*)>"  # end tag, no attrs/space (else: fallback)
+    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:[^<>\"']|\"[^\"]*\"|'[^']*')*)>",  # start tag
+    _re.DOTALL | _re.IGNORECASE,
+)
+_QUOTED_RE = _re.compile(r"\"[^\"]*\"|'[^']*'")
+_CDATA_TAGS = ("script", "style")  # HTMLParser raw-text mode
+
+
+def _fast_feed(html: str, p: _TextExtractor) -> bool:
+    """Drive `p`'s handlers over `html`; False = input too unusual, re-parse
+    with the stdlib parser (caller uses a fresh handler)."""
+    pos, n = 0, len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        data = html[pos : m.start()] if m else html[pos:]
+        if data:
+            if "<" in data:
+                return False  # stray '<' — stdlib parser has its own rules
+            p.handle_data(_unescape(data) if "&" in data else data)
+        if not m:
+            return True
+        if m.group(1) is not None:  # </tag>
+            p.handle_endtag(m.group(1).lower())
+        elif m.group(2) is not None:  # <tag ...>
+            tag = m.group(2).lower()
+            attrs = m.group(3)
+            if "/" in attrs or "&" in attrs:
+                # self-closing vs unquoted-value-with-slash needs the
+                # stdlib attribute grammar; entity-bearing attrs ditto
+                noq = _QUOTED_RE.sub("", attrs)
+                if "/" in noq or "&" in noq:
+                    return False
+            p.handle_starttag(tag, [])
+            if tag in _CDATA_TAGS:
+                # raw-text content: no tags, no charrefs until </tag
+                m2 = _re.compile(rf"</\s*{tag}", _re.IGNORECASE).search(html, m.end())
+                if m2 is None:
+                    p.handle_data(html[m.end() :])
+                    return True
+                p.handle_data(html[m.end() : m2.start()])
+                pos = m2.start()
+                continue
+        pos = m.end()
+    return True
+
+
 def extract_text_py(html: bytes | str | None) -> str:
     """Pure-Python single-value extraction (used by tests and the UDF)."""
     if html is None:
@@ -113,7 +179,9 @@ def extract_text_py(html: bytes | str | None) -> str:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     p = _TextExtractor()
-    p.feed(html)
+    if not _fast_feed(html, p):
+        p = _TextExtractor()  # fresh state: the stdlib parser re-reads all
+        p.feed(html)
     p.close()
     return "\n".join(p.lines).strip("\n")
 
