@@ -20,6 +20,12 @@ Distributed re-expression of DedupScanner::execute_action / merge_nodes
               with AutoDedup{1.0} (dedup.rs:282-295).
 - link:       related_to edge w=similarity, AutoDedup{similarity}
               (dedup.rs:210-227).
+
+Documented divergence (same class as the rep rule above): duplicate
+(src,dst,relation) dedup-emitted edges resolve by max(weight, sim), whereas
+the reference's put_edge ignores DuplicateEdge so the first-applied edge in
+scan order wins (dedup.rs:204-227, 282-295) — scan order is not
+reproducible distributed, so the survivor is picked by value.
 """
 
 from __future__ import annotations
@@ -219,7 +225,10 @@ def dedup_edges_for_actions(actions: DataFrame, cmap: DataFrame, run_ts: datetim
     # edge with different scores, the surviving weight would depend on
     # parallelism — the same arrival-order-ulp class of bug as the staged
     # 512k merge (BASELINE.md §Round-5 determinism leg). Highest (weight,
-    # sim) wins, a total order because weights are data not floats-from-GEMM.
+    # sim) wins; residual ties on both keys are only between byte-identical
+    # rows (every output column derives from src/dst/relation/weight/sim),
+    # which is why no further tie-break column is needed. Divergence from
+    # the reference's scan-order first-wins: see the module docstring.
     w_dedup = Window.partitionBy("src", "dst", "relation").orderBy(
         F.desc("weight"), F.desc("sim")
     )

@@ -18,6 +18,14 @@ from bench_scale_staged import run_chain
 det_cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 committed = json.load(open(os.path.join(os.path.dirname(__file__), "..", "BENCH_r05_scale.json")))
 want_sig = committed["best"]["signature"]
+timed_cpus = committed["best"].get("cpus", committed.get("timed_cpus", 8))
+if det_cpus == timed_cpus:
+    # a same-parallelism rerun would emit a bit_identical flag that is NOT
+    # cross-parallelism evidence — refuse rather than mislabel
+    sys.exit(
+        f"refusing: det_cpus={det_cpus} equals the committed timed leg's cpu "
+        f"count; pass a different count for cross-parallelism evidence"
+    )
 det = run_chain(512000, det_cpus, "/tmp/scale_staged_det", 2, os.environ.get("SPARK_DRIVER_MEM", "12g"))
 out = {
     "metric": "kg_scale_point_staged_determinism",
