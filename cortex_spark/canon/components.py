@@ -23,11 +23,15 @@ from pyspark.sql import functions as F
 # Graphs at or below this edge count bypass the iterative kernel: a bounded
 # limit(cap+1).collect() + driver union-find answers in one job what the
 # alternation answers in ~40 (each Kiveris round is several AQE query
-# stages, and per-job latency — not data — dominates below ~10^5 edges:
-# measured 3.3 s for the 646-edge canonical_map merge graph). The cap
-# bounds driver memory (~cap * 2 ids); anything larger falls through to
-# the distributed alternation unchanged, so the 100 TB path is untouched.
-DRIVER_CC_MAX_EDGES = int(os.environ.get("CORTEX_CC_DRIVER_MAX_EDGES", "100000"))
+# stages, and per-job latency — not data — dominates small graphs:
+# measured 3.3 s for the 646-edge canonical_map merge graph and 6.9 s for
+# the 165k-edge sf0.1 hierarchy vs ~1 s collected). 300k edges collect to
+# ~25 MB — the same order as a broadcast-join build side — and union-find
+# is O(E α(E)); anything larger falls through to the distributed
+# alternation unchanged, so the 100 TB path is untouched (the sf1.0 bench
+# graph, 1.65M edges, runs distributed). Both paths produce identical rows
+# (tests/test_components.py pins equality on the same graph).
+DRIVER_CC_MAX_EDGES = int(os.environ.get("CORTEX_CC_DRIVER_MAX_EDGES", "300000"))
 
 
 def _neighborhoods(edges: DataFrame) -> DataFrame:

@@ -76,3 +76,26 @@ def test_random_graphs(spark, seed):
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(70)]
     edges = [(u, v) for u, v in edges if u != v]
     check(spark, edges)
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_distributed_kernel_matches_driver_path(spark, seed, monkeypatch):
+    """The iterative alternation (the 100 TB path) must produce exactly the
+    rows the small-graph driver union-find produces — run both on the same
+    graph by forcing the cap to 0."""
+    import cortex_spark.canon.components as C
+
+    rng = random.Random(seed)
+    nodes = [f"v{i:03d}" for i in range(80)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    driver_rows = {(r["node_id"], r["component"]) for r in connected_components(df).collect()}
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+    dist_rows = {(r["node_id"], r["component"]) for r in connected_components(df).collect()}
+    assert driver_rows == dist_rows
+    # and both match the pure-python oracle
+    ns = sorted({x for e in edges for x in e})
+    exp = set(union_find(edges, ns).items())
+    assert dist_rows == exp
