@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cortex_spark.embed import DEFAULT_DIM, DEFAULT_SEED, encode_py
+from cortex_spark.embed import DEFAULT_DIM, DEFAULT_SEED, encode_np
 from cortex_spark.extract.chunk import chunk_text
 from cortex_spark.extract.classify import TITLE_MAX_BYTES, classify_py
 from cortex_spark.extract.html import extract_text_py
@@ -73,7 +73,7 @@ def _node_rows(
         tags = sorted(set(_ENTITY_RE.findall(chunk.lower())))[:MAX_TAGS]
         if with_embeddings:
             tag_line = "\ntags: " + ", ".join(tags) if tags else ""
-            emb = encode_py(f"{kind.capitalize()}: {title}\n{chunk}{tag_line}", dim, seed)
+            emb = encode_np(f"{kind.capitalize()}: {title}\n{chunk}{tag_line}", dim, seed)
         else:
             emb = None
         node_id = hashlib.sha256(f"{url}\x00{idx}".encode()).hexdigest()[:32]
