@@ -205,6 +205,94 @@ def band_sig_udf(
     return _sig
 
 
+def _sig_vec_udf(
+    dim: int,
+    n_planes: int = DEFAULT_PLANES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    center=None,
+):
+    """candidate_topk-internal variant of band_sig_udf: embedding →
+    struct<sigs: array<long>, vb: binary> where vb is the float32 vector's
+    raw little-endian bytes. The GEMM stage transports the vector as ONE
+    binary blob per row instead of array<float>: Spark's Arrow writer/reader
+    converts BinaryType with a memcpy but ArrayType element by element, and
+    the vector rides the sig shuffle `bands` times — at 100k pages that
+    per-element conversion (not BLAS) dominated the stage's task time.
+    float64→float32 happens HERE with the same astype the GEMM kernel used
+    on its Arrow input, so scores are bit-identical."""
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    mu = None if center is None else np.asarray(center, dtype=np.float64)
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    out_type = StructType(
+        [
+            StructField("sigs", ArrayType(LongType())),
+            StructField("vb", BinaryType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _sig(emb: pd.Series) -> pd.DataFrame:
+        mask = np.array([v is not None for v in emb])
+        sig_out = np.empty(len(emb), dtype=object)
+        vb_out = np.empty(len(emb), dtype=object)
+        sig_out[~mask] = None
+        vb_out[~mask] = None
+        if mask.any():
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in emb[mask]])
+            Xc = X - mu if mu is not None else X
+            bits = (Xc @ planes.T) > 0
+            weights = (1 << np.arange(rows - 1, -1, -1)).astype(np.int64)
+            sigs = bits.reshape(len(X), bands, rows).astype(np.int64) @ weights
+            sigs |= np.arange(bands, dtype=np.int64) << 32
+            X32 = np.ascontiguousarray(X.astype(np.float32))
+            idxs = np.flatnonzero(mask)
+            for j, i in enumerate(idxs):
+                sig_out[i] = sigs[j]
+                vb_out[i] = X32[j].tobytes()
+        return pd.DataFrame({"sigs": sig_out, "vb": vb_out})
+
+    return _sig
+
+
+def _bin_flat(arr, dtype):
+    """Zero-copy (values, offsets-in-items) view of a pyarrow BinaryArray.
+
+    Returns (flat, off) where `flat` is the value bytes in row order viewed
+    as `dtype` and `off` (int64, len+1) indexes row boundaries in ITEMS.
+    Falls back to a gather when the array is sliced/non-dense (never the
+    case for Spark-built batches, but Arrow allows it)."""
+    if arr.null_count:
+        raise ValueError("unexpected null in packed binary column")
+    itemsize = np.dtype(dtype).itemsize
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = np.diff(off)
+    if (lens % itemsize).any():
+        raise ValueError("packed binary length not a multiple of item size")
+    seg = data[off[0] : off[-1]]
+    if int(off[-1] - off[0]) != int(lens.sum()):  # sliced with gaps: gather
+        pos = np.repeat(off[:-1], lens) + _segmented_arange(lens)
+        seg = data[pos]
+    try:
+        flat = seg.view(dtype)
+    except ValueError:  # unaligned slice start — copy to align
+        flat = np.ascontiguousarray(seg).view(dtype)
+    return flat, (off - off[0]) // itemsize
+
+
+def _segmented_arange(lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    return np.arange(total) - np.repeat(starts, lens)
+
+
 def add_lsh_bands(
     nodes: DataFrame,
     vec_col: str = "embedding",
@@ -302,6 +390,7 @@ def candidate_topk(
     design_sim: float = 0.75,
     center=None,
     _hash_fn=None,
+    _stage: str = "full",
 ) -> DataFrame:
     """Per-node top-k neighbors via bucketed GEMM — the scale path for the
     ANN candidate join (J1) and the distributed analogue of per-node HNSW
@@ -368,6 +457,7 @@ def candidate_topk(
             n = chk["n_sid"]
         if chk["n_nid"] < chk["n_sid"] or n > DENSE_IDS_ABOVE:
             id_strategy = "dense"  # collided (or past the birthday bound)
+    sv = _sig_vec_udf(dim, n_planes, bands, seed, center=center)
     if id_strategy == "dense":
         base = (
             nodes.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
@@ -377,14 +467,14 @@ def candidate_topk(
         id_map = base.select("sid", "nid")
         if n is None:
             n = base.count()  # cheap: counts the checkpointed blocks
-        with_sigs = add_lsh_bands(base, "vec", dim, n_planes, bands, seed, center=center)
-        sigs = with_sigs.select("nid", "vec", F.explode("lsh_sigs").alias("sig"))
+        sigs = base.withColumn("sv", sv(F.col("vec"))).select(
+            "nid", F.col("sv.vb").alias("vb"), F.explode("sv.sigs").alias("sig")
+        )
     else:
-        with_sigs = add_lsh_bands(nodes, vec_col, dim, n_planes, bands, seed, center=center)
-        sigs = with_sigs.select(
+        sigs = nodes.withColumn("sv", sv(F.col(vec_col))).select(
             hash_fn(F.col(id_col)).alias("nid"),
-            F.col(vec_col).alias("vec"),
-            F.explode("lsh_sigs").alias("sig"),
+            F.col("sv.vb").alias("vb"),
+            F.explode("sv.sigs").alias("sig"),
         )
     sigs = sigs.filter(F.col("sig").isNotNull())
 
@@ -395,11 +485,10 @@ def candidate_topk(
         Arrow-native over sig-sorted partitions instead of
         groupBy.applyInPandas: the actual BLAS here is ~2 s of the stage's
         ~16 s — the rest was per-group pandas assembly plus one np.asarray
-        per row for the vector column. Buckets are contiguous after the
-        sortWithinPartitions("sig") below, the vector matrix reshapes
-        zero-copy from the flat ListArray values, and the packed output
-        builds via ListArray.from_arrays (flat values + offsets), never a
-        Python list of arrays.
+        per row for the vector column. The vector matrix reshapes zero-copy
+        from the binary blob column (_bin_flat on `vb`), and the packed
+        top-k output builds as binary arrays from flat numpy buffers +
+        offsets, never a Python list of arrays.
 
         float32 GEMM: embeddings are float32 already; halving the matrix
         bytes matters because this VM's aggregate memory bandwidth DROPS
@@ -411,15 +500,14 @@ def candidate_topk(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            vecs = rb.column(rb.schema.get_field_index("vec"))
-            vl = vecs.value_lengths().to_numpy()
-            if len(vl) and not (vl == dim).all():
+            vb = rb.column(rb.schema.get_field_index("vb"))
+            flat, off = _bin_flat(vb, np.float32)
+            lens = np.diff(off)
+            if len(lens) and not (lens == dim).all():
                 raise ValueError("embedding length != declared dim")
             sig_parts.append(rb.column(rb.schema.get_field_index("sig")).to_numpy())
             nid_parts.append(rb.column(rb.schema.get_field_index("nid")).to_numpy())
-            vec_parts.append(
-                vecs.flatten().to_numpy().astype(np.float32, copy=False).reshape(-1, dim)
-            )
+            vec_parts.append(flat.reshape(-1, dim))
         if not sig_parts:
             return
         sig = np.concatenate(sig_parts) if len(sig_parts) > 1 else sig_parts[0]
@@ -465,17 +553,25 @@ def candidate_topk(
         a_flat = np.concatenate(out_a)
         counts = np.concatenate(out_counts)
         total = int(counts.sum())
-        if total >= 2**31:  # ListArray offsets are int32 — fail loud, never wrap
+        if total * 8 >= 2**31:  # binary offsets are int32 BYTES — fail loud
             raise ValueError(
-                f"partition emits {total} neighbor entries (≥ 2^31); raise "
-                "spark.sql.shuffle.partitions so per-partition output fits "
-                "int32 list offsets"
+                f"partition emits {total} neighbor entries (≥ 2^31 bytes "
+                "packed); raise spark.sql.shuffle.partitions so "
+                "per-partition output fits int32 binary offsets"
             )
-        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
-        bs_arr = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(np.concatenate(out_b)))
-        ss_arr = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(np.concatenate(out_s).astype(np.float32)))
+        # neighbor ids / scores ship as raw-byte blobs (one binary cell per
+        # node×band row): Spark converts BinaryType with a memcpy where
+        # ArrayType pays per-element conversion on BOTH sides of the widest
+        # shuffle in the job; numpy decodes the bytes zero-copy (_bin_flat)
+        bs_off = np.r_[0, np.cumsum(counts * 8)].astype(np.int32)
+        ss_off = np.r_[0, np.cumsum(counts * 4)].astype(np.int32)
+        bs_arr = pa.Array.from_buffers(
+            pa.binary(), len(counts),
+            [None, pa.py_buffer(bs_off), pa.py_buffer(np.concatenate(out_b))])
+        ss_arr = pa.Array.from_buffers(
+            pa.binary(), len(counts),
+            [None, pa.py_buffer(ss_off),
+             pa.py_buffer(np.concatenate(out_s).astype(np.float32, copy=False))])
         yield pa.RecordBatch.from_arrays(
             [pa.array(a_flat), bs_arr, ss_arr], names=["a_id", "bs", "ss"])
 
@@ -489,8 +585,10 @@ def candidate_topk(
     # of its concurrency inflation (2→8-core scaling leg, BASELINE.md §Round-5)
     per_bucket = (
         sigs.repartition(n_parts0, "sig")
-        .mapInArrow(bucket_topk_partition, schema="a_id long, bs array<long>, ss array<float>")
+        .mapInArrow(bucket_topk_partition, schema="a_id long, bs binary, ss binary")
     )
+    if _stage == "gemm":  # measurement seam: stop after the GEMM stage
+        return per_bucket
 
     def merge_topk(batches) -> "Iterator[pa.RecordBatch]":
         """Per-node merge: max score per neighbor, then per-node top-k by
@@ -522,10 +620,14 @@ def candidate_topk(
             if rb.num_rows == 0:
                 continue
             a_col, bs_col, ss_col = rb.column(0), rb.column(1), rb.column(2)
+            bflat, boff = _bin_flat(bs_col, np.int64)
+            sflat, soff = _bin_flat(ss_col, np.float32)
+            if boff[-1] != soff[-1]:
+                raise ValueError("packed neighbor/score blobs disagree on count")
             row_a.append(a_col.to_numpy())
-            row_lens.append(bs_col.value_lengths().to_numpy().astype(np.int64))
-            b_parts.append(bs_col.flatten().to_numpy())
-            s_parts.append(ss_col.flatten().to_numpy())
+            row_lens.append(np.diff(boff))
+            b_parts.append(bflat)
+            s_parts.append(sflat)
         if not row_a:
             return
         ra = np.concatenate(row_a) if len(row_a) > 1 else row_a[0]
@@ -570,6 +672,8 @@ def candidate_topk(
     merged = per_bucket.repartition(n_parts_merge, "a_id").mapInArrow(
         merge_topk, schema="a_id long, b_id long, score double"
     )
+    if _stage == "merge":  # measurement seam: surrogate ids, no map-back
+        return merged
     a_map = id_map.select(F.col("nid").alias("a_id"), F.col("sid").alias("a_sid"))
     b_map = id_map.select(F.col("nid").alias("b_id"), F.col("sid").alias("b_sid"))
     # map-back joins: broadcast only while the id map actually fits the
