@@ -99,3 +99,25 @@ def test_distributed_kernel_matches_driver_path(spark, seed, monkeypatch):
     ns = sorted({x for e in edges for x in e})
     exp = set(union_find(edges, ns).items())
     assert dist_rows == exp
+
+
+@pytest.mark.parametrize("thr", [0, 10_000_000])
+def test_aqe_toggle_rounds_identical_and_restored(spark, thr, monkeypatch):
+    """Rounds below CC_AQE_OFF_MAX_ROWS run with AQE disabled (latency), but
+    the output must be identical either way and the session setting must be
+    restored afterwards — including when the threshold keeps AQE on."""
+    import cortex_spark.canon.components as C
+
+    rng = random.Random(11)
+    nodes = [f"v{i:03d}" for i in range(100)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(160)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    monkeypatch.setattr(C, "DRIVER_CC_MAX_EDGES", 0)
+    monkeypatch.setattr(C, "CC_AQE_OFF_MAX_ROWS", thr)
+    got = {(r["node_id"], r["component"]) for r in connected_components(df).collect()}
+    assert spark.conf.get("spark.sql.adaptive.enabled", "true") == before
+    ns = sorted({x for e in edges for x in e})
+    assert got == set(union_find(edges, ns).items())
