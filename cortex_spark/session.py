@@ -57,6 +57,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # Fork Python workers from a daemon that has already imported
+    # numpy/pandas/pyarrow (cortex_spark/pydaemon.py): ~1.5-2 s of module
+    # import per worker becomes one import per daemon, inherited via fork
+    # copy-on-write — most of the first Python stage's spin-up on a cold
+    # session. Engaged only when the package lives on a real filesystem path
+    # the daemon subprocess can import (skipped under py-files zips, where
+    # the default pyspark.daemon keeps working as before).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if (
+        os.environ.get("CORTEX_NO_DAEMON_PRELOAD") != "1"
+        and os.path.isfile(os.path.join(repo_root, "cortex_spark", "pydaemon.py"))
+    ):
+        pp = os.environ.get("PYTHONPATH", "")
+        if repo_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
+        builder = builder.config("spark.python.daemon.module", "cortex_spark.pydaemon")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
