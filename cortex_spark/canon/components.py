@@ -21,17 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Graphs at or below this edge count bypass the iterative kernel: a bounded
-# limit(cap+1).collect() + driver union-find answers in one job what the
-# alternation answers in ~40 (each Kiveris round is several AQE query
-# stages, and per-job latency — not data — dominates small graphs:
-# measured 3.3 s for the 646-edge canonical_map merge graph and 6.9 s for
-# the 165k-edge sf0.1 hierarchy vs ~1 s collected). 300k edges collect to
-# ~25 MB — the same order as a broadcast-join build side — and union-find
-# is O(E α(E)); anything larger falls through to the distributed
-# alternation unchanged, so the 100 TB path is untouched (the sf1.0 bench
-# graph, 1.65M edges, runs distributed). Both paths produce identical rows
+# limit(cap+1) Arrow collect + driver min-label propagation answers in one
+# job what the alternation answers in ~40 (each Kiveris round is several
+# query stages, and per-job latency — not data — dominates small and
+# mid-size graphs: measured 3.3 s for the 646-edge canonical_map merge
+# graph and 6.9 s for the 165k-edge sf0.1 hierarchy vs ~1 s collected;
+# round-6 re-measurement on a 1.65M-edge sf1-shaped hierarchy: distributed
+# ~14 s warm vs ~4 s driver path). The cap is sized by DRIVER MEMORY, not
+# by the crossover (which sits far higher): 4M edges ≈ 150 MB Arrow-
+# serialized / under ~1 GB materialized in pandas — the same order as a
+# large broadcast-join build side, and an order below the driver heap.
+# Anything larger falls through to the distributed alternation unchanged,
+# so the 100 TB path is untouched. Both paths produce identical rows
 # (tests/test_components.py pins equality on the same graph).
-DRIVER_CC_MAX_EDGES = int(os.environ.get("CORTEX_CC_DRIVER_MAX_EDGES", "300000"))
+DRIVER_CC_MAX_EDGES = int(os.environ.get("CORTEX_CC_DRIVER_MAX_EDGES", "4000000"))
 
 # Rounds whose state frame is at or below this row count run with AQE
 # disabled: each Kiveris round is ~6 exchanges, and adaptive execution
@@ -112,7 +115,11 @@ def _signature(edges: DataFrame) -> int:
 def _driver_components(rows) -> list[tuple]:
     """Union-find over collected (src, dst) rows; emits (node, component)
     for every node on an edge, component = min member id — the exact output
-    contract of the distributed kernel (self-loops already filtered)."""
+    contract of the distributed kernel (self-loops already filtered).
+
+    Reference implementation: the hot path is _driver_components_np below
+    (vectorized, same output — tests pin the equivalence); this stays as the
+    obviously-correct oracle and the fallback for exotic id types."""
     parent: dict = {}
 
     def find(x):
@@ -136,6 +143,41 @@ def _driver_components(rows) -> list[tuple]:
     return [(n, find(n)) for n in parent]
 
 
+def _driver_components_np(src, dst):
+    """Vectorized driver-side components over two equal-length pandas/numpy
+    id sequences: factorize ids to dense codes, then min-label propagation
+    with pointer jumping (each round takes the min label across every edge
+    in two vectorized scatters, then compresses labels twice) — O(E) numpy
+    work per round, O(log n) rounds with the jumping. Returns a pandas
+    DataFrame (node_id, component), component = min member id by the ids'
+    own ordering — identical rows to _driver_components (pinned by
+    tests/test_components.py). ~2.4 s for 1.65M string edges where the
+    dict union-find takes ~3.9 s, and no per-row Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    codes, uniques = pd.factorize(
+        pd.concat([pd.Series(src), pd.Series(dst)], ignore_index=True)
+    )
+    n = len(uniques)
+    u, v = codes[: len(src)], codes[len(src) :]
+    lab = np.arange(n)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, u, lab[v])
+        np.minimum.at(new, v, lab[u])
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # min label ≠ min id (factorize codes are appearance-ordered), so take
+    # the true min id per label group and emit every node on an edge
+    uq = pd.Series(uniques)
+    comp_min = uq.groupby(lab).transform("min")
+    return pd.DataFrame({"node_id": uq, "component": comp_min})
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -156,11 +198,13 @@ def connected_components(
     e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     cap = DRIVER_CC_MAX_EDGES
     if cap > 0:
-        # small-graph fast path: ONE bounded job decides. limit(cap+1) keeps
-        # the collect bounded regardless of graph size; exactly cap+1 rows
-        # back means "too big" and the distributed kernel below runs on the
-        # full frame (one redundant partial scan, amortized at that size).
-        head = e0.filter(F.col("src") != F.col("dst")).limit(cap + 1).collect()
+        # small/mid-graph fast path: ONE bounded job decides. limit(cap+1)
+        # keeps the collect bounded regardless of graph size; exactly cap+1
+        # rows back means "too big" and the distributed kernel below runs on
+        # the full frame (one redundant partial scan, amortized at that
+        # size). The collect rides Arrow (toPandas) — at the cap that is
+        # ~40x cheaper than row-pickling .collect().
+        head = e0.filter(F.col("src") != F.col("dst")).limit(cap + 1).toPandas()
         if len(head) <= cap:
             if stats is not None:
                 stats["rounds"] = 0
@@ -171,7 +215,20 @@ def connected_components(
             schema = StructType(
                 [StructField("node_id", id_type), StructField("component", id_type)]
             )
-            return spark.createDataFrame(_driver_components(head), schema)
+            if len(head) == 0:
+                return spark.createDataFrame([], schema)
+            out = _driver_components_np(head.iloc[:, 0], head.iloc[:, 1])
+            # upload in bulk batches: the session's 10k-row Arrow batch size
+            # is tuned for UDF streams, not a one-shot driver upload —
+            # 200k-row batches shave ~10% off the reify (measured at 1.65M
+            # rows); restored immediately so UDF stages are unaffected
+            batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            batch_was = spark.conf.get(batch_key, "10000")
+            try:
+                spark.conf.set(batch_key, "200000")
+                return spark.createDataFrame(out, schema)
+            finally:
+                spark.conf.set(batch_key, batch_was)
     cur = _neighborhoods(e0)
     cur = cur.localCheckpoint(eager=True)
     prev_sig = None

@@ -101,6 +101,46 @@ def test_distributed_kernel_matches_driver_path(spark, seed, monkeypatch):
     assert dist_rows == exp
 
 
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        ("long_chain", [(f"n{i:04d}", f"n{i+1:04d}") for i in range(2000)]),
+        ("chain_reversed", [(f"n{i+1:04d}", f"n{i:04d}") for i in range(500)]),
+        (
+            "dups_both_orientations",
+            [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")],
+        ),
+        ("two_stars_bridge", [("h1", f"l{i}") for i in range(50)]
+         + [("h2", f"m{i}") for i in range(50)] + [("l7", "m9")]),
+        ("appearance_order_trap", [("z9", "z8"), ("z8", "z7"), ("a0", "z9")]),
+    ],
+)
+def test_driver_np_kernel_matches_reference(name, edges):
+    """_driver_components_np (factorize + min-label propagation, the hot
+    driver path) must emit exactly _driver_components' rows on shapes that
+    stress it: deep chains (max propagation rounds), duplicate and
+    reversed edges, and ids whose factorize appearance order inverts their
+    sort order (min code != min id)."""
+    from cortex_spark.canon.components import _driver_components, _driver_components_np
+
+    src = [e[0] for e in edges]
+    dst = [e[1] for e in edges]
+    ref = set(_driver_components(list(zip(src, dst))))
+    got = _driver_components_np(src, dst)
+    assert set(zip(got["node_id"], got["component"])) == ref
+
+
+def test_driver_np_kernel_int_ids():
+    from cortex_spark.canon.components import _driver_components, _driver_components_np
+
+    edges = [(5, 3), (3, 9), (100, 42), (7, 7 + 1)]
+    src = [e[0] for e in edges]
+    dst = [e[1] for e in edges]
+    ref = set(_driver_components(list(zip(src, dst))))
+    got = _driver_components_np(src, dst)
+    assert set(zip(got["node_id"], got["component"])) == ref
+
+
 @pytest.mark.parametrize("thr", [0, 10_000_000])
 def test_aqe_toggle_rounds_identical_and_restored(spark, thr, monkeypatch):
     """Rounds below CC_AQE_OFF_MAX_ROWS run with AQE disabled (latency), but
