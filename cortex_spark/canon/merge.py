@@ -45,7 +45,19 @@ def _ts_lit(run_ts: datetime):
 
 def canonical_map(actions: DataFrame, nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """merge actions → (node_id, canonical) for every retired node."""
-    merges = actions.filter(F.col("action") == "merge").select("keep", "retire")
+    # eager checkpoint: this frame is tiny (dedup actions only), but its
+    # lineage is the full dedup_actions plan (degree over the whole edge
+    # table + joins + windows) and the consumers below re-execute referenced
+    # subtrees per reference — isEmpty is one execution and the fast path's
+    # bounded limit scan inside connected_components is several MORE jobs
+    # (CollectLimit grows its partition batch per attempt). Measured at the
+    # 100k-page bench point: those limit jobs alone were ~5.3 s of canon's
+    # 10.5 s warm wall.
+    merges = (
+        actions.filter(F.col("action") == "merge")
+        .select("keep", "retire")
+        .localCheckpoint(eager=True)
+    )
     if merges.isEmpty():
         return merges.sparkSession.createDataFrame([], "node_id string, canonical string")
     comp = connected_components(merges, src="keep", dst="retire")
@@ -262,6 +274,12 @@ def canonicalize(
 ) -> tuple[DataFrame, DataFrame]:
     """Apply all dedup actions; returns (nodes', edges')."""
     run_ts = run_ts or datetime(2026, 1, 1, tzinfo=timezone.utc)
+    # actions is tiny (one row per dedup action) but its lineage is the full
+    # dedup_actions plan; it is referenced by canonical_map (merge filter)
+    # AND three filter branches inside dedup_edges_for_actions' union, and
+    # Spark re-executes the shared subtree per reference. One eager
+    # materialization truncates all of them (same rationale as cmap below).
+    actions = actions.localCheckpoint(eager=True)
     # cmap fans out into SIX plan references downstream (src/dst maps in
     # rewrite_edges and dedup_edges_for_actions, fold + tombstone in
     # merge_node_attrs) and Spark re-executes a referenced subtree per
